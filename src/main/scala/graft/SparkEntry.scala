@@ -1,13 +1,342 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.IngestConfig
+import graft.ops.CdcOps
+import graft.stream.CdcIngestJob
+import graft.wal.TranscriptWal
+
+/** Driver contract — one entry per implemented operator (SURVEY.md §2), each
+  * with a DuckDB-equivalent oracle in [[oracleSql]]. Column names and value
+  * rounding are kept bit-identical between the Spark query and the oracle.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: full CDC apply — derive the WAL from `events`, replay it
+    * through the engine into a fresh GraftLake table, read the final state
+    * back. Driver smoke-checks rows>0 at sf0.001.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_cdc_apply")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- CDC core (SURVEY §2.2 F1, §2.3 J7, §2.9) --------------------------
+
+    // End-to-end engine: WAL → dedup → arbitrate → bucketed idempotent MERGE
+    // → final state. The oracle recomputes the same final state in pure SQL.
+    "q_cdc_apply" -> ((s, dir) => {
+      val work = Files.createTempDirectory("graftlake").toString
+      val conf = IngestConfig(tablePath = s"$work/t", checkpointPath = s"$work/cp",
+        numBuckets = 16, enforceWatermark = false)
+      val wal = TranscriptWal.fromEvents(s, dir)
+      val table = CdcIngestJob.replayBatch(s, wal, conf)
+      table.read()
+        .select("conv_id", "turn_idx", "role", "text", "tool")
+        .orderBy("conv_id", "turn_idx")
+    }),
+
+    // F1 — exact duplicate events (same key+lsn) collapse to one.
+    "q_cdc_dedup" -> ((s, dir) => {
+      val wal = TranscriptWal.fromEvents(s, dir)
+      CdcOps.dedupByKeyLsn(wal.unionAll(wal))
+        .groupBy("conv_id").agg(count(lit(1)).as("n_events"))
+        .orderBy("conv_id")
+    }),
+
+    // J7 — last-writer-wins arbitration per merge key (max lsn).
+    "q_cdc_arbitrate" -> ((s, dir) => {
+      val wal = TranscriptWal.fromEvents(s, dir)
+      CdcOps.arbitrateLastWriterWins(wal)
+        .select("conv_id", "turn_idx", "op", "lsn", "role", "text")
+        .orderBy("conv_id", "turn_idx")
+    }),
+
+    // W1-W4 kernel — gap sessionization (1h) per conversation.
+    "q_cdc_sessionize" -> ((s, dir) => {
+      val wal = TranscriptWal.fromEvents(s, dir)
+      CdcOps.sessionizeByGap(wal, "ts", 3600)
+        .groupBy("conv_id")
+        .agg(max(col("session_id")).cast("long").as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy("conv_id")
+    }),
+
+    // §2.9 — watermark late-drop with counting (7-day delay vs max ts).
+    "q_cdc_late" -> ((s, dir) => {
+      val wal = TranscriptWal.fromEvents(s, dir)
+      val hw = wal.agg(max(unix_millis(col("commit_ts")))).collect()(0).getLong(0)
+      CdcOps.dropLate(wal, hw, expr("INTERVAL '7' DAY"))
+        .groupBy("conv_id").agg(count(lit(1)).as("n_kept"))
+        .orderBy("conv_id")
+    }),
+
+    // A9 — per-conversation lineage metrics.
+    "q_cdc_lineage" -> ((s, dir) => {
+      val wal = TranscriptWal.fromEvents(s, dir)
+      CdcOps.lineageMetrics(wal).orderBy("conv_id")
+    }),
+
+    // J4 analog — boilerplate: text repeated across >= 12 distinct convs.
+    "q_cdc_boilerplate" -> ((s, dir) => {
+      val wal = TranscriptWal.fromEvents(s, dir)
+      CdcOps.flagBoilerplate(wal, minConvs = 12)
+        .where(col("is_boilerplate"))
+        .select("text").distinct()
+        .orderBy("text")
+    }),
+
+    // F11 — sanitization rule chain over synthetic PII-bearing text.
+    "q_cdc_sanitize" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select(
+        col("doc_id"),
+        concat(lit("mail u"), col("doc_id"), lit("@example.com ip 10.0."),
+          (col("doc_id") % 256).cast("string"), lit(".7 see https://ex.com/"),
+          col("doc_id"), lit(" t "), substring(col("text"), 1, 40)).as("text"))
+      CdcOps.sanitize(docs).orderBy("doc_id")
+    }),
+
+    // O1/W8 — canonical order + replay-stable global ids on the final state.
+    "q_cdc_order" -> ((s, dir) => {
+      val state = TranscriptWal.expectedState(TranscriptWal.fromEvents(s, dir))
+      CdcOps.withGlobalId(state)
+        .select("global_id", "conv_id", "turn_idx", "role")
+        .orderBy("conv_id", "turn_idx")
+    }),
+
+    // ---- Relational coverage (scans/aggs/joins, SURVEY §2.1/2.3/2.4/2.6) ---
+
+    // A1-style frequency stats: TPC-H Q1 pricing summary.
+    "q1_agg" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 2).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // Broadcast-join chain: revenue per nation (customer ⋈ orders ⋈ nation).
+    "q_join_nation_rev" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      val c = tbl(s, dir, "customer")
+      val n = tbl(s, dir, "nation")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(n("n_name").as("n_name"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("n_name")
+    }),
+
+    // O4 — top-k: 10 highest-value customers (deterministic tie-break).
+    "q_topk_customers" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      o.groupBy("o_custkey")
+        .agg(round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(desc("total"), col("o_custkey"))
+        .limit(10)
+    }),
+
+    // U1 — anti-join: customers with no URGENT order, per market segment.
+    "q_anti_join" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer")
+      val o = tbl(s, dir, "orders").where(col("o_orderpriority") === "1-URGENT")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_customers"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // F9 — explode/split generator: top-20 token frequencies over documents.
+    "q_explode_tokens" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .where(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("word"))
+        .limit(20)
+    }),
+
+    // ---- Training-data pipeline ops over documents -------------------------
+
+    // Exact dedup by content hash: survivor = min doc_id per text.
+    "q_dedup_exact" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .groupBy("text").agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id").orderBy("doc_id")
+    }),
+
+    // Document fingerprinting (md5 content hash).
+    "q_fingerprint" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("fp"))
+        .orderBy("doc_id").limit(100)
+    }),
+
+    // Token counting + quality scoring per language.
+    "q_doc_quality" -> ((s, dir) => {
+      val toks = size(filter(split(col("text"), " "), w => w =!= ""))
+      tbl(s, dir, "documents")
+        .withColumn("n_tokens", toks)
+        .withColumn("stop_ratio",
+          size(filter(split(col("text"), " "), w => w.isin("the", "a"))) /
+            toks.cast("double"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("n_tokens")), 2).as("avg_tokens"),
+          round(avg(col("n_chars")), 2).as("avg_chars"),
+          round(avg(col("stop_ratio")), 4).as("avg_stop_ratio"))
+        .orderBy("lang")
+    })
+  )
+
+  def oracleSql: Map[String, String] = {
+    val walCte = s"WITH wal AS (${TranscriptWal.fromEventsSql})"
+    Map(
+      "q_cdc_apply" ->
+        s"""$walCte, latest AS (
+           |  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+           |  FROM wal)
+           |SELECT conv_id, turn_idx, role, text, tool
+           |FROM latest WHERE rn = 1 AND op <> 'D'
+           |ORDER BY conv_id, turn_idx""".stripMargin,
+
+      "q_cdc_dedup" ->
+        s"""$walCte
+           |SELECT conv_id, count(*) AS n_events FROM wal
+           |GROUP BY conv_id ORDER BY conv_id""".stripMargin,
+
+      "q_cdc_arbitrate" ->
+        s"""$walCte, latest AS (
+           |  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+           |  FROM wal)
+           |SELECT conv_id, turn_idx, op, lsn, role, text
+           |FROM latest WHERE rn = 1 ORDER BY conv_id, turn_idx""".stripMargin,
+
+      "q_cdc_sessionize" ->
+        s"""$walCte, flagged AS (
+           |  SELECT conv_id,
+           |         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+           |              WHEN epoch(ts) - epoch(lag(ts) OVER w) > 3600 THEN 1
+           |              ELSE 0 END AS flag
+           |  FROM wal WINDOW w AS (PARTITION BY conv_id ORDER BY ts)),
+           |sess AS (
+           |  SELECT conv_id, sum(flag) OVER (PARTITION BY conv_id ROWS UNBOUNDED PRECEDING) AS sid
+           |  FROM flagged)
+           |SELECT conv_id, CAST(max(sid) AS BIGINT) AS n_sessions,
+           |       count(*) AS n_events
+           |FROM sess GROUP BY conv_id ORDER BY conv_id""".stripMargin,
+
+      "q_cdc_late" ->
+        s"""$walCte
+           |SELECT conv_id, count(*) AS n_kept FROM wal
+           |WHERE commit_ts >= (SELECT max(commit_ts) FROM wal) - INTERVAL 7 DAY
+           |GROUP BY conv_id ORDER BY conv_id""".stripMargin,
+
+      "q_cdc_lineage" ->
+        s"""$walCte
+           |SELECT conv_id, count(*) AS events,
+           |       count(*) FILTER (op <> 'D') AS upserts,
+           |       count(*) FILTER (op = 'D') AS deletes,
+           |       count(DISTINCT turn_idx) AS distinct_turns,
+           |       max(lsn) AS max_lsn
+           |FROM wal GROUP BY conv_id ORDER BY conv_id""".stripMargin,
+
+      "q_cdc_boilerplate" ->
+        s"""$walCte
+           |SELECT DISTINCT text FROM (
+           |  SELECT text, count(DISTINCT conv_id) AS nc FROM wal GROUP BY text)
+           |WHERE nc >= 12 ORDER BY text""".stripMargin,
+
+      "q_cdc_sanitize" ->
+        """SELECT doc_id,
+          |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          |    'mail u' || CAST(doc_id AS VARCHAR) || '@example.com ip 10.0.' ||
+          |      CAST(doc_id % 256 AS VARCHAR) || '.7 see https://ex.com/' ||
+          |      CAST(doc_id AS VARCHAR) || ' t ' || substring(text, 1, 40),
+          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+          |    'https?://[^\s]+', '[URL]', 'g'),
+          |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g'),
+          |    '\b(?:\d[ -]?){13,19}\b', '[CARD]', 'g'),
+          |    '\+?\d{1,3}[ -]?\(?\d{2,4}\)?[ -]?\d{3,4}[ -]?\d{3,4}', '[PHONE]', 'g')
+          |  AS text
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q_cdc_order" ->
+        s"""$walCte, latest AS (
+           |  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+           |  FROM wal),
+           |state AS (SELECT conv_id, turn_idx, role FROM latest WHERE rn = 1 AND op <> 'D')
+           |SELECT row_number() OVER (ORDER BY conv_id, turn_idx) AS global_id,
+           |       conv_id, turn_idx, role
+           |FROM state ORDER BY conv_id, turn_idx""".stripMargin,
+
+      "q1_agg" ->
+        """SELECT l_returnflag, l_linestatus,
+          |       round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+          |       round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_base_price,
+          |       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS sum_disc_price,
+          |       round(CAST(avg(l_quantity) AS DOUBLE), 2) AS avg_qty,
+          |       count(*) AS count_order
+          |FROM lineitem GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+      "q_join_nation_rev" ->
+        """SELECT n_name, round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS revenue,
+          |       count(*) AS n_orders
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+      "q_topk_customers" ->
+        """SELECT o_custkey, round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total
+          |FROM orders GROUP BY o_custkey
+          |ORDER BY total DESC, o_custkey LIMIT 10""".stripMargin,
+
+      "q_anti_join" ->
+        """SELECT c_mktsegment, count(*) AS n_customers
+          |FROM customer WHERE c_custkey NOT IN (
+          |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+      "q_explode_tokens" ->
+        """SELECT word, count(*) AS n FROM (
+          |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+          |WHERE word <> '' GROUP BY word
+          |ORDER BY n DESC, word LIMIT 20""".stripMargin,
+
+      "q_dedup_exact" ->
+        """SELECT min(doc_id) AS doc_id FROM documents
+          |GROUP BY text ORDER BY doc_id""".stripMargin,
+
+      "q_fingerprint" ->
+        """SELECT doc_id, md5(text) AS fp FROM documents
+          |ORDER BY doc_id LIMIT 100""".stripMargin,
+
+      "q_doc_quality" ->
+        """WITH d AS (
+          |  SELECT lang, n_chars,
+          |         len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens,
+          |         CAST(len(list_filter(string_split(text, ' '),
+          |              w -> w IN ('the', 'a'))) AS DOUBLE)
+          |           / len(list_filter(string_split(text, ' '), w -> w <> '')) AS stop_ratio
+          |  FROM documents)
+          |SELECT lang, count(*) AS n_docs,
+          |       round(CAST(avg(n_tokens) AS DOUBLE), 2) AS avg_tokens,
+          |       round(CAST(avg(n_chars) AS DOUBLE), 2) AS avg_chars,
+          |       round(CAST(avg(stop_ratio) AS DOUBLE), 4) AS avg_stop_ratio
+          |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+    )
+  }
 }

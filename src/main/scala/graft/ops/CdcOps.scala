@@ -1,0 +1,164 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch operator kernel of the CDC engine — pure `DataFrame => DataFrame`
+  * stages, composable inside `foreachBatch` or standalone. Each stage is the
+  * Spark-first re-expression of a reference operator (SURVEY.md §2); all are
+  * whole-stage-codegen-friendly column expressions or single window passes —
+  * no RDDs, no driver loops.
+  */
+object CdcOps {
+
+  private val key = Seq(col("conv_id"), col("turn_idx"))
+
+  /** F1 — drop exact duplicate events (same key + same lsn). The reference
+    * sorts text chunks and drops successive equal ones
+    * (processors/TextProcessor.java:114-135); here identity is explicit, so a
+    * keyed `dropDuplicates` suffices (map-side partial aggregation: the
+    * shuffle carries one row per (key,lsn) per partition, not the raw stream).
+    */
+  def dedupByKeyLsn(events: DataFrame): DataFrame =
+    events.dropDuplicates("conv_id", "turn_idx", "lsn")
+
+  /** J7 analog — last-writer-wins arbitration: keep the max-lsn event per
+    * merge key. Single hash-aggregate via max_by on a struct of the payload
+    * (one shuffle, partial-agg pushed map-side) rather than a sort-window —
+    * at 10^10 events the window's per-partition sort is pure overhead.
+    * Deterministic: lsn totally orders events within a key by construction.
+    */
+  def arbitrateLastWriterWins(events: DataFrame): DataFrame = {
+    val payloadCols = events.columns.filterNot(Set("conv_id", "turn_idx").contains)
+    val payload = struct(payloadCols.map(col).toIndexedSeq: _*)
+    events
+      .groupBy("conv_id", "turn_idx")
+      .agg(max_by(payload, col("lsn")).as("__p"))
+      .select(col("conv_id") +: col("turn_idx") +:
+        payloadCols.toIndexedSeq.map(c => col(s"__p.$c").as(c)): _*)
+  }
+
+  /** Watermark enforcement for batch replay (§2.9): drop events whose
+    * commit_ts is older than (high-water mark − delay). Late rows are counted
+    * before the drop via observe() — mirroring the reference's warn-and-count
+    * policy on invalid pages (DocumentProcessor.java:239-250) rather than a
+    * silent filter. `highWater` is supplied by the caller (streaming state).
+    */
+  def dropLate(events: DataFrame, highWaterMillis: Long, delay: Column): DataFrame = {
+    val cutoff = timestamp_millis(lit(highWaterMillis)) - delay
+    events
+      .observe("late", count(when(col("commit_ts") < cutoff, 1)).as("late_drops"))
+      .where(col("commit_ts") >= cutoff)
+  }
+
+  /** F11 — sensitive-data sanitization: a config-driven, deterministic-order
+    * chain of regexp replacements (reference default rule set:
+    * utils/ContentSanitizer.java:39-263, api/FilterConfig.java:37-78).
+    * foldLeft over rules = the reference's sequential rule application; each
+    * rule is a codegen'd RegExpReplace, so the whole chain fuses into one
+    * projection.
+    */
+  final case class SanitizeRule(name: String, pattern: String, replacement: String)
+
+  val defaultSanitizeRules: Seq[SanitizeRule] = Seq(
+    SanitizeRule("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    SanitizeRule("url", "https?://[^\\s]+", "[URL]"),
+    SanitizeRule("ipv4", "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "[IP]"),
+    SanitizeRule("card", "\\b(?:\\d[ -]?){13,19}\\b", "[CARD]"),
+    SanitizeRule("phone", "\\+?\\d{1,3}[ -]?\\(?\\d{2,4}\\)?[ -]?\\d{3,4}[ -]?\\d{3,4}", "[PHONE]")
+  )
+
+  def sanitize(df: DataFrame, textCol: String = "text",
+               rules: Seq[SanitizeRule] = defaultSanitizeRules): DataFrame = {
+    val sanitized = rules.foldLeft(col(textCol)) { (c, r) =>
+      regexp_replace(c, r.pattern, r.replacement)
+    }
+    df.withColumn(textCol, sanitized)
+  }
+
+  /** J4 analog — boilerplate detection: the reference detects headers/footers
+    * by cross-page repetition (HeaderFooterProcessor.java:158-235); for
+    * transcripts a turn text repeated across ≥ minConvs distinct conversations
+    * is boilerplate. Two-phase aggregate (fingerprint → distinct-conv count)
+    * then a broadcast semi-join of the (small) boilerplate fingerprint set
+    * back onto the stream — the big side is never shuffled twice.
+    */
+  def flagBoilerplate(df: DataFrame, minConvs: Int = 3): DataFrame = {
+    val fp = xxhash64(col("text"))
+    val boiler = df
+      .groupBy(fp.as("__fp"))
+      .agg(approx_count_distinct(col("conv_id")).as("__nc"))
+      .where(col("__nc") >= minConvs)
+      .select("__fp")
+    df.join(broadcast(boiler), fp === boiler("__fp"), "left")
+      .withColumn("is_boilerplate", col("__fp").isNotNull)
+      .drop("__fp")
+  }
+
+  /** W1–W4 kernel — generic sessionization: a boundary predicate over
+    * (lag(prev), current) rows becomes a cumulative-flag group id. This is the
+    * reference's chunk→line→paragraph merge cascade
+    * (TextLineProcessor.java:42-96, ParagraphProcessor.java:36-54) as one
+    * window pass: boundary flag → running sum → group id.
+    */
+  def sessionize(df: DataFrame, orderCol: String, boundary: (Column, Column) => Column,
+                 partitionCols: Seq[String] = Seq("conv_id"),
+                 sessionCol: String = "session_id"): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))
+    val prev = lag(col(orderCol), 1).over(w)
+    val flag = when(prev.isNull, 1).otherwise(boundary(prev, col(orderCol)).cast("int"))
+    df.withColumn(sessionCol,
+      sum(flag).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  /** Gap-based session ids on a timestamp column (the common case). */
+  def sessionizeByGap(df: DataFrame, tsCol: String, gapSeconds: Long,
+                      partitionCols: Seq[String] = Seq("conv_id")): DataFrame =
+    sessionize(df, tsCol,
+      (prev, cur) => cur.cast("long") - prev.cast("long") > gapSeconds,
+      partitionCols)
+
+  /** O1/W8 — canonical ordering + replay-stable dense ids. row_number over
+    * explicit keys, never monotonically_increasing_id (not stable across
+    * replays/partitionings) — the reference's post-restructuring sequential id
+    * pass (DocumentProcessor.java:400-405) with determinism fixed.
+    * NOTE: global row_number is a single-partition sort — fine for exports and
+    * tests; at 100 TB use the per-conversation variant [[turnSeq]].
+    */
+  def canonicalOrder(df: DataFrame): DataFrame =
+    df.orderBy(key: _*)
+
+  def withGlobalId(df: DataFrame): DataFrame =
+    df.withColumn("global_id",
+      row_number().over(Window.orderBy(key: _*)))
+
+  /** Scalable per-conversation sequence number (shuffles only by conv_id). */
+  def turnSeq(df: DataFrame): DataFrame =
+    df.withColumn("turn_seq",
+      row_number().over(Window.partitionBy("conv_id").orderBy(col("turn_idx"))))
+
+  /** A9 — per-partition lineage metrics, computed as one conditional-count
+    * aggregate per conv (reference: per-page counters,
+    * hybrid/TriageProcessor.java:717-830). Streaming path publishes the same
+    * expressions via Dataset.observe.
+    */
+  def lineageMetrics(events: DataFrame): DataFrame =
+    events.groupBy("conv_id").agg(
+      count(lit(1)).as("events"),
+      count(when(col("op") =!= "D", 1)).as("upserts"),
+      count(when(col("op") === "D", 1)).as("deletes"),
+      countDistinct(col("turn_idx")).as("distinct_turns"),
+      max(col("lsn")).as("max_lsn")
+    )
+
+  /** Salted repartition for hot-key skew (§2.9): spread one viral conv_id
+    * across `salt` reducers before a wide stage. The merge key itself stays
+    * (conv_id, turn_idx) — salting only drives the physical partitioning,
+    * mirroring the reference's triage routing of pathological pages
+    * (hybrid/TriageProcessor.java:648-706).
+    */
+  def saltedRepartition(df: DataFrame, numPartitions: Int, salt: Int): DataFrame =
+    df.repartition(numPartitions,
+      col("conv_id"), pmod(xxhash64(col("lsn")), lit(salt)))
+}

@@ -1,0 +1,75 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.lake.LakeTable
+import graft.model.{IngestConfig, Schemas}
+import graft.ops.CdcOps
+
+/** The streaming CDC ingest core (north rule): tail a WAL directory with a
+  * file source, window/dedup/arbitrate per micro-batch, and apply to a
+  * [[LakeTable]] with an idempotent epoch-stamped merge inside `foreachBatch`.
+  *
+  * Reference lineage: the per-document extract→transform→write-back loop
+  * (api/OpenDataLoaderPDF.java:39-41 → DocumentProcessor.extractContents →
+  * generateOutputs) becomes per-micro-batch `ops pipeline → MERGE`; the
+  * reference's per-file CLI resumability (CLIMain.java:106-117) becomes
+  * checkpointed source offsets + the lake's committed-epoch manifest.
+  *
+  * Exactly-once: Structured Streaming may re-run a batch after failure;
+  * `LakeTable.merge` consults the snapshot's committed epochs and re-applies
+  * as a no-op. Offsets (checkpoint) + epoch manifest (table) together give
+  * end-to-end exactly-once without a transactional source.
+  */
+object CdcIngestJob {
+
+  /** The per-batch transform pipeline — also usable in pure batch replay. */
+  def pipeline(batch: DataFrame, conf: IngestConfig, highWaterMillis: Long): DataFrame = {
+    var df = CdcOps.dedupByKeyLsn(batch)
+    if (conf.enforceWatermark && highWaterMillis > 0L)
+      df = CdcOps.dropLate(df, highWaterMillis, expr(s"INTERVAL '${conf.watermarkDelay}'"))
+    if (conf.sanitize) df = CdcOps.sanitize(df)
+    df
+  }
+
+  /** Start the streaming query. Caller owns stop/await. */
+  def start(spark: SparkSession, walDir: String, conf: IngestConfig,
+            withTool: Boolean = true): StreamingQuery = {
+    val schema = if (withTool) Schemas.changeEvent else Schemas.changeEventV0
+    val table = new LakeTable(spark, conf.tablePath, conf.numBuckets)
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", conf.maxFilesPerTrigger)
+      .parquet(walDir)
+      .withWatermark("commit_ts", conf.watermarkDelay)
+
+    stream.writeStream
+      .option("checkpointLocation", conf.checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val hw = table.currentSnapshot.map(_.highWaterMillis).getOrElse(0L)
+        val staged = pipeline(batch, conf, hw)
+        val res = table.merge(staged, "cdc", batchId)
+        // Per-batch lineage to the driver log; the snapshot carries the same
+        // numbers durably (A9 / north-rule metrics).
+        println(s"""{"batch":$batchId,"applied":${res.applied},"events":${res.events},""" +
+          s""""upserts":${res.upserts},"deletes":${res.deletes},""" +
+          s""""touchedBuckets":${res.touchedBuckets},"version":${res.version}}""")
+        ()
+      }
+      .start()
+  }
+
+  /** Batch replay of a WAL DataFrame straight into the table — same pipeline,
+    * one epoch per call. Used by benchmarks, Verify queries, and replay tests.
+    */
+  def replayBatch(spark: SparkSession, wal: DataFrame, conf: IngestConfig,
+                  epochId: Long = 0L): LakeTable = {
+    val table = new LakeTable(spark, conf.tablePath, conf.numBuckets)
+    val hw = table.currentSnapshot.map(_.highWaterMillis).getOrElse(0L)
+    table.merge(pipeline(wal, conf, hw), "replay", epochId)
+    table
+  }
+}
