@@ -45,13 +45,18 @@ object CdcIngestJob {
       .parquet(walDir)
       .withWatermark("commit_ts", conf.watermarkDelay)
 
+    // Epoch namespace must be scoped to the checkpoint: batchIds restart at 0
+    // for a new checkpoint, so a table fed by successive streams (or multiple
+    // writers) needs one committed-epoch counter per checkpoint lineage.
+    val epochNs = "cdc-" + java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(conf.checkpointPath).toLong & 0xffffffffL)
     stream.writeStream
       .option("checkpointLocation", conf.checkpointPath)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val hw = table.currentSnapshot.map(_.highWaterMillis).getOrElse(0L)
         val staged = pipeline(batch, conf, hw)
-        val res = table.merge(staged, "cdc", batchId)
+        val res = table.merge(staged, epochNs, batchId)
         // Per-batch lineage to the driver log; the snapshot carries the same
         // numbers durably (A9 / north-rule metrics).
         println(s"""{"batch":$batchId,"applied":${res.applied},"events":${res.events},""" +

@@ -86,6 +86,27 @@ object ReplayDemo {
     val diff = oracle.exceptAll(got).count() + got.exceptAll(oracle).count()
     check("replay-equality", diff == 0, s"symmetric-diff=$diff state=${got.count()}")
 
+    // 7. Streaming: tail a WAL dir into a fresh table, then feed the SAME
+    //    table from a SECOND stream with a new checkpoint (batchIds restart
+    //    at 0) — the epoch namespace must be checkpoint-scoped or the second
+    //    stream's batches would be skipped as already committed.
+    val sWork = Files.createTempDirectory("replaydemo-stream").toString
+    val conf = graft.model.IngestConfig(tablePath = s"$sWork/t",
+      checkpointPath = s"$sWork/cp1", numBuckets = 8, enforceWatermark = false)
+    val sw1 = TranscriptWal.synthetic(spark, 500, 10)
+    sw1.coalesce(2).write.mode("append").parquet(s"$sWork/wal1")
+    CdcIngestJob.start(spark, s"$sWork/wal1", conf).awaitTermination()
+    val st = new LakeTable(spark, conf.tablePath, 8)
+    val afterS1 = st.read().count()
+    val sw2 = TranscriptWal.synthetic(spark, 200, 10, lsnOffset = 9000000L)
+      .withColumn("text", lit("FROM-STREAM-2"))
+    sw2.coalesce(1).write.mode("append").parquet(s"$sWork/wal2")
+    CdcIngestJob.start(spark, s"$sWork/wal2",
+      conf.copy(checkpointPath = s"$sWork/cp2")).awaitTermination()
+    val s2Rows = st.read().where(col("text") === "FROM-STREAM-2").count()
+    check("stream-two-checkpoints", afterS1 > 0 && s2Rows > 0,
+      s"stream1Rows=$afterS1 stream2Applied=$s2Rows")
+
     spark.stop()
     if (failed) sys.exit(1)
   }

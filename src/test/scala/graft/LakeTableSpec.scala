@@ -1,0 +1,142 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lake.LakeTable
+import graft.wal.TranscriptWal
+
+class LakeTableSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def freshTable(buckets: Int = 8) =
+    new LakeTable(spark, Files.createTempDirectory("lake").toString, buckets)
+
+  test("merge then read returns the arbitrated batch state") {
+    val t = freshTable()
+    val wal = TranscriptWal.synthetic(spark, 500, 10)
+    t.merge(wal, "t", 1)
+    val expected = TranscriptWal.expectedState(wal)
+      .select("conv_id", "turn_idx", "role", "text", "tool")
+    val got = t.read().select("conv_id", "turn_idx", "role", "text", "tool")
+    assert(got.exceptAll(expected).count() == 0 && expected.exceptAll(got).count() == 0)
+  }
+
+  test("re-applying the same epoch is a no-op") {
+    val t = freshTable()
+    val wal = TranscriptWal.synthetic(spark, 200, 5)
+    val r1 = t.merge(wal, "t", 1)
+    val v1 = t.latestVersion.get
+    val r2 = t.merge(wal, "t", 1)
+    assert(r1.applied && !r2.applied)
+    assert(t.latestVersion.get == v1)
+  }
+
+  test("equal-batch re-application with a NEW epoch id is still idempotent state-wise") {
+    val t = freshTable()
+    val wal = TranscriptWal.synthetic(spark, 200, 5)
+    t.merge(wal, "t", 1)
+    val before = t.read().orderBy("conv_id", "turn_idx").collect().toSeq
+    t.merge(wal, "t", 2) // same rows, same lsns — LWW must not change state
+    val after = t.read().orderBy("conv_id", "turn_idx").collect().toSeq
+    assert(before == after)
+  }
+
+  test("stale (lower-lsn) events never overwrite newer state") {
+    val t = freshTable()
+    val wal = TranscriptWal.synthetic(spark, 300, 5)
+    t.merge(wal, "t", 1)
+    val stale = wal.withColumn("lsn", $"lsn" - 1000000L)
+      .withColumn("text", lit("STALE"))
+    t.merge(stale, "t", 2)
+    assert(t.read().where($"text" === "STALE").count() == 0)
+  }
+
+  test("deletes remove rows; delete of a missing key is a no-op") {
+    val t = freshTable()
+    val wal = TranscriptWal.synthetic(spark, 300, 5)
+    t.merge(wal, "t", 1)
+    val n0 = t.read().count()
+    val dels = wal.where($"turn_idx" === 1)
+      .withColumn("op", lit("D")).withColumn("lsn", $"lsn" + 1000000L)
+    val missing = Seq(("D", 9999999L, new java.sql.Timestamp(0), "ghost", 0,
+      "user", "x", null: String, new java.sql.Timestamp(0)))
+      .toDF("op", "lsn", "commit_ts", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+    t.merge(dels.unionAll(missing), "t", 2)
+    assert(t.read().where($"turn_idx" === 1).count() == 0)
+    assert(t.read().where($"conv_id" === "ghost").count() == 0)
+    assert(t.read().count() < n0)
+  }
+
+  test("copy-on-write: untouched bucket files survive unchanged across merges") {
+    val t = freshTable(buckets = 8)
+    val wal = TranscriptWal.synthetic(spark, 800, 20)
+    t.merge(wal, "t", 1)
+    val s1 = t.currentSnapshot.get
+    // Second merge touches exactly one conversation => one bucket.
+    val one = wal.where($"conv_id" === "c3").withColumn("lsn", $"lsn" + 1000000L)
+    val r = t.merge(one, "t", 2)
+    val s2 = t.currentSnapshot.get
+    assert(r.touchedBuckets == 1)
+    val touched = s2.buckets.filter { case (b, fs) => s1.buckets.get(b) != Some(fs) }.keys
+    assert(touched.size == 1)
+    // untouched buckets: identical file lists (no rewrite)
+    s1.buckets.keys.filterNot(touched.toSet).foreach { b =>
+      assert(s2.buckets(b) == s1.buckets(b))
+    }
+  }
+
+  test("additive schema evolution: new column appears, old rows read null") {
+    val t = freshTable()
+    val v0 = TranscriptWal.synthetic(spark, 200, 5, withTool = false).drop("tool")
+    t.merge(v0, "t", 1)
+    assert(!t.read().columns.contains("tool"))
+    val v1 = TranscriptWal.synthetic(spark, 100, 5, withTool = true, lsnOffset = 10000000L)
+    t.merge(v1, "t", 2)
+    val cols = t.read().columns
+    assert(cols.contains("tool"))
+    // rows written before evolution read as null tool
+    val oldRows = t.readWithLsn().where($"_lsn" < 10000000L)
+    assert(oldRows.where($"tool".isNotNull).count() == 0)
+  }
+
+  test("batch splitting is merge-equivalent: k epochs == one epoch") {
+    val wal = TranscriptWal.synthetic(spark, 600, 8, deleteFraction = 0.1)
+    val whole = freshTable(); whole.merge(wal, "t", 1)
+    val split = freshTable()
+    // three deterministic slices by lsn ranges, applied in order
+    split.merge(wal.where($"lsn" < 200), "t", 1)
+    split.merge(wal.where($"lsn" >= 200 && $"lsn" < 400), "t", 2)
+    split.merge(wal.where($"lsn" >= 400), "t", 3)
+    val a = whole.read().select("conv_id", "turn_idx", "text")
+    val b = split.read().select("conv_id", "turn_idx", "text")
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
+  test("out-of-order batch application converges to the same state") {
+    val wal = TranscriptWal.synthetic(spark, 600, 8)
+    val inOrder = freshTable()
+    inOrder.merge(wal.where($"lsn" < 300), "t", 1)
+    inOrder.merge(wal.where($"lsn" >= 300), "t", 2)
+    val reversed = freshTable()
+    reversed.merge(wal.where($"lsn" >= 300), "t", 1)
+    reversed.merge(wal.where($"lsn" < 300), "t", 2)
+    val a = inOrder.read().select("conv_id", "turn_idx", "text")
+    val b = reversed.read().select("conv_id", "turn_idx", "text")
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
+  test("lineage metrics accumulate in snapshots") {
+    val t = freshTable()
+    val wal = TranscriptWal.synthetic(spark, 200, 5, deleteFraction = 0.2)
+    val r = t.merge(wal, "t", 1)
+    val snap = t.currentSnapshot.get
+    assert(snap.metrics("last_events") == r.events)
+    assert(snap.metrics("last_deletes") == r.deletes)
+    assert(r.events == r.upserts + r.deletes)
+    assert(snap.metrics("total_events") == r.events)
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lake.LakeTable
+import graft.wal.TranscriptWal
+
+/** The property the reference only claims ("deterministic output",
+  * README.md:13): ANY batch partitioning and ANY event permutation of the
+  * same WAL must converge to the same final table state. ScalaCheck
+  * generators sampled with fixed seeds (no scalatestplus bridge in the
+  * offline cache, so sampling is explicit).
+  */
+class ReplayPropertySpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private lazy val walDf = {
+    val df = TranscriptWal.synthetic(spark, 400, 6, deleteFraction = 0.15,
+      dupFraction = 0.1).cache()
+    df.count()
+    df
+  }
+  private lazy val oracle = TranscriptWal.expectedState(walDf)
+    .select("conv_id", "turn_idx", "text").cache()
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  private def assertMatchesOracle(got: org.apache.spark.sql.DataFrame): Unit =
+    assert(got.exceptAll(oracle).count() == 0 && oracle.exceptAll(got).count() == 0)
+
+  test("any batch partitioning of the WAL yields the oracle state") {
+    val cutsGen = Gen.listOfN(3, Gen.choose(0L, 400L))
+    (1L to 5L).foreach { seed =>
+      val cuts = sample(cutsGen, seed)
+      val t = new LakeTable(spark, Files.createTempDirectory("prop").toString, 4)
+      val bounds = (Long.MinValue +: cuts.sorted :+ Long.MaxValue).distinct
+      bounds.sliding(2).zipWithIndex.foreach {
+        case (Seq(lo, hi), i) =>
+          t.merge(walDf.where($"lsn" >= lo && $"lsn" < hi), "p", i.toLong)
+        case _ =>
+      }
+      assertMatchesOracle(t.read().select("conv_id", "turn_idx", "text"))
+    }
+  }
+
+  test("any permutation of the WAL yields the oracle state") {
+    (1L to 5L).foreach { seed =>
+      val permSeed = sample(Gen.choose(0L, 1000000L), seed)
+      val permuted = walDf.orderBy(xxhash64($"lsn", lit(permSeed)))
+      val t = new LakeTable(spark, Files.createTempDirectory("perm").toString, 4)
+      t.merge(permuted, "p", 0)
+      assertMatchesOracle(t.read().select("conv_id", "turn_idx", "text"))
+    }
+  }
+
+  test("skewed WAL (hot conversation) converges identically") {
+    val skew = TranscriptWal.synthetic(spark, 1000, 10, hotConvShare = 0.4,
+      deleteFraction = 0.1)
+    val exp = TranscriptWal.expectedState(skew).select("conv_id", "turn_idx", "text")
+    val t = new LakeTable(spark, Files.createTempDirectory("skew").toString, 4)
+    t.merge(skew, "p", 0)
+    val got = t.read().select("conv_id", "turn_idx", "text")
+    assert(got.exceptAll(exp).count() == 0 && exp.exceptAll(got).count() == 0)
+  }
+}

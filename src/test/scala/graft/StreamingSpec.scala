@@ -1,0 +1,110 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lake.LakeTable
+import graft.model.IngestConfig
+import graft.stream.CdcIngestJob
+import graft.wal.TranscriptWal
+
+/** End-to-end Structured Streaming ingest: WAL dir tail → foreachBatch →
+  * idempotent merge; checkpoint resume mid-stream; schema evolution
+  * mid-stream. Mirrors SURVEY.md §7.2's minimum slice.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def workDirs(): (String, IngestConfig) = {
+    val work = Files.createTempDirectory("stream").toString
+    val conf = IngestConfig(
+      tablePath = s"$work/table", checkpointPath = s"$work/cp",
+      numBuckets = 8, enforceWatermark = false, maxFilesPerTrigger = 2)
+    (s"$work/wal", conf)
+  }
+
+  private def writeWalFiles(walDir: String, parts: Seq[org.apache.spark.sql.DataFrame]): Unit =
+    parts.zipWithIndex.foreach { case (df, i) =>
+      df.coalesce(1).write.mode("append").parquet(walDir)
+    }
+
+  test("stream ingest applies a multi-file WAL and matches the batch oracle") {
+    val (walDir, conf) = workDirs()
+    val wal = TranscriptWal.synthetic(spark, 600, 10, deleteFraction = 0.1).cache()
+    writeWalFiles(walDir, Seq(
+      wal.where($"lsn" < 200), wal.where($"lsn" >= 200 && $"lsn" < 400),
+      wal.where($"lsn" >= 400)))
+    val q = CdcIngestJob.start(spark, walDir, conf)
+    q.awaitTermination()
+
+    val t = new LakeTable(spark, conf.tablePath, conf.numBuckets)
+    val got = t.read().select("conv_id", "turn_idx", "text")
+    val exp = TranscriptWal.expectedState(wal).select("conv_id", "turn_idx", "text")
+    assert(got.exceptAll(exp).count() == 0 && exp.exceptAll(got).count() == 0)
+  }
+
+  test("kill and resume from checkpoint: no loss, no double-apply") {
+    val (walDir, conf) = workDirs()
+    val wal = TranscriptWal.synthetic(spark, 600, 10).cache()
+    // phase 1: two files, run to completion (AvailableNow terminates)
+    writeWalFiles(walDir, Seq(wal.where($"lsn" < 200),
+      wal.where($"lsn" >= 200 && $"lsn" < 400)))
+    val q1 = CdcIngestJob.start(spark, walDir, conf)
+    q1.awaitTermination()
+    val t = new LakeTable(spark, conf.tablePath, conf.numBuckets)
+    val midCount = t.read().count()
+
+    // phase 2: two more files, resume from the same checkpoint
+    writeWalFiles(walDir, Seq(wal.where($"lsn" >= 400 && $"lsn" < 500),
+      wal.where($"lsn" >= 500)))
+    val q2 = CdcIngestJob.start(spark, walDir, conf)
+    q2.awaitTermination()
+
+    val got = t.read().select("conv_id", "turn_idx", "text")
+    val exp = TranscriptWal.expectedState(wal).select("conv_id", "turn_idx", "text")
+    assert(t.read().count() >= midCount)
+    assert(got.exceptAll(exp).count() == 0 && exp.exceptAll(got).count() == 0)
+
+    // phase 3: restart once more with NO new data — must be a no-op
+    val v = t.latestVersion.get
+    val q3 = CdcIngestJob.start(spark, walDir, conf)
+    q3.awaitTermination()
+    assert(t.latestVersion.get == v)
+  }
+
+  test("schema evolution mid-stream: tool column appears in later files") {
+    val (walDir, conf) = workDirs()
+    val v0 = TranscriptWal.synthetic(spark, 200, 5, withTool = false).drop("tool")
+    v0.coalesce(1).write.mode("append").parquet(s"$walDir-v0")
+    val q1 = CdcIngestJob.start(spark, s"$walDir-v0", conf, withTool = false)
+    q1.awaitTermination()
+    val t = new LakeTable(spark, conf.tablePath, conf.numBuckets)
+    assert(!t.read().columns.contains("tool"))
+
+    // later stream (separate dir+checkpoint namespace) carries the new column
+    val v1 = TranscriptWal.synthetic(spark, 100, 5, withTool = true,
+      lsnOffset = 10000000L)
+    v1.coalesce(1).write.mode("append").parquet(s"$walDir-v1")
+    val conf2 = conf.copy(checkpointPath = conf.checkpointPath + "2")
+    val q2 = CdcIngestJob.start(spark, s"$walDir-v1", conf2)
+    q2.awaitTermination()
+    assert(t.read().columns.contains("tool"))
+    assert(t.read().where($"tool".isNotNull).count() > 0)
+  }
+
+  test("duplicate WAL file content does not double-apply rows") {
+    val (walDir, conf) = workDirs()
+    val wal = TranscriptWal.synthetic(spark, 300, 5).cache()
+    // same events written twice (at-least-once source) — dedup by (key,lsn)
+    writeWalFiles(walDir, Seq(wal, wal))
+    val q = CdcIngestJob.start(spark, walDir, conf)
+    q.awaitTermination()
+    val t = new LakeTable(spark, conf.tablePath, conf.numBuckets)
+    val got = t.read().select("conv_id", "turn_idx", "text")
+    val exp = TranscriptWal.expectedState(wal).select("conv_id", "turn_idx", "text")
+    assert(got.exceptAll(exp).count() == 0 && exp.exceptAll(got).count() == 0)
+  }
+}
