@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.IngestConfig
-import graft.ops.CdcOps
+import graft.ops.{CdcOps, DedupOps, MultimodalOps, SimilarityOps, TextOps}
 import graft.stream.CdcIngestJob
 import graft.wal.TranscriptWal
 
@@ -184,6 +184,87 @@ object SparkEntry {
         .orderBy("doc_id").limit(100)
     }),
 
+    // Per-doc token counts: whitespace + BPE-ish subword estimate.
+    "q_text_metrics" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+          TextOps.bpeishTokenCount(col("text")).as("n_tokens_bpeish"))
+        .orderBy("doc_id")
+    }),
+
+    // Language-ID by stopword-marker voting, cross-tabbed vs actual lang.
+    "q_langid" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .withColumn("lang_pred", TextOps.langId(col("text")))
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_pred")
+    }),
+
+    // Quality scoring (length/punct/stopword/replacement-char) — rows-only.
+    "q_quality_score" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // n-gram (token-set) Jaccard similarity: all pairs among doc_id<40.
+    "q_jaccard_pairs" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").where(col("doc_id") < 40)
+      val ids = d.select(col("doc_id").as("a_id"))
+        .crossJoin(d.select(col("doc_id").as("b_id")))
+        .where(col("a_id") < col("b_id"))
+      DedupOps.jaccardVerify(d, ids, threshold = 0.9, shingleWidth = 1)
+        .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // MinHash+LSH near-dup pipeline on an augmented corpus (plants true
+    // near-copies) → LSH candidates → exact Jaccard verify. Rows-only check
+    // (signatures are xxhash64-based; no SQL oracle).
+    "q_near_dup_lsh" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select("doc_id", "text")
+      val copies = d.select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" tail marker")).as("text"))
+      DedupOps.nearDuplicates(d.unionAll(copies), threshold = 0.5)
+        .where(col("b_id") === col("a_id") + 100000)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // SimHash near-dup buckets on the same augmented corpus. Rows-only.
+    "q_simhash" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select("doc_id", "text")
+      val copies = d.select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" ").as("sep")).as("text")) // same token set
+      DedupOps.simHashDuplicates(d.unionAll(copies))
+        .select(col("simhash"), col("n"),
+          array_min(col("ids")).as("min_id"), array_max(col("ids")).as("max_id"))
+        .orderBy("min_id")
+    }),
+
+    // Brute-force cosine top-5 neighbors for the first 5 vectors
+    // (integer-quantized for cross-engine exactness).
+    "q_ann_brute" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      SimilarityOps.bruteForceTopK(e, e.where(col("vec_id") < 5), k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // LSH-bucketed ANN (the 100 TB plan): exact cosine only inside colliding
+    // random-hyperplane buckets. Rows-only (bucketing is xxhash64-derived).
+    "q_ann_lsh" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      SimilarityOps.lshTopK(e, e.where(col("vec_id") < 50), k = 5, bits = 8)
+        .groupBy("query_id").agg(count(lit(1)).as("n_neighbors"),
+          round(max(col("sim")), 6).as("best_sim"))
+        .orderBy("query_id")
+    }),
+
+    // Multimodal plumbing: binary media column + typed metadata → partition-
+    // batched (stub) codec → per-type feature stats.
+    "q_media_features" -> ((s, dir) =>
+      MultimodalOps.mediaFeatureStats(s, dir)),
+
     // Token counting + quality scoring per language.
     "q_doc_quality" -> ((s, dir) => {
       val toks = size(filter(split(col("text"), " "), w => w =!= ""))
@@ -323,6 +404,94 @@ object SparkEntry {
       "q_fingerprint" ->
         """SELECT doc_id, md5(text) AS fp FROM documents
           |ORDER BY doc_id LIMIT 100""".stripMargin,
+
+      "q_text_metrics" ->
+        """SELECT doc_id,
+          |       CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_tokens,
+          |       CAST(list_sum(list_transform(
+          |         list_filter(string_split(text, ' '), w -> w <> ''),
+          |         w -> CAST(ceil(len(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_tokens_bpeish
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q_langid" ->
+        """WITH toks AS (
+          |  SELECT doc_id, lang,
+          |         list_filter(string_split(lower(text), ' '), w -> w <> '') AS t
+          |  FROM documents),
+          |scores AS (
+          |  SELECT doc_id, lang, cand, CASE cand
+          |    WHEN 'en' THEN len(list_filter(t, w -> w IN ('the','and','of','is')))
+          |    WHEN 'de' THEN len(list_filter(t, w -> w IN ('der','die','und','ist')))
+          |    WHEN 'fr' THEN len(list_filter(t, w -> w IN ('le','la','et','est')))
+          |    WHEN 'es' THEN len(list_filter(t, w -> w IN ('el','los','y','es')))
+          |    WHEN 'zh' THEN len(list_filter(t, w -> w IN ('的','是','了','在')))
+          |    END AS score
+          |  FROM toks, (SELECT unnest(['en','de','fr','es','zh']) AS cand)),
+          |best AS (
+          |  SELECT doc_id, lang, cand, score,
+          |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand DESC) AS rn
+          |  FROM scores)
+          |SELECT lang, CASE WHEN score > 0 THEN cand ELSE 'und' END AS lang_pred,
+          |       count(*) AS n
+          |FROM best WHERE rn = 1 GROUP BY 1, 2 ORDER BY lang, lang_pred""".stripMargin,
+
+      "q_jaccard_pairs" ->
+        """WITH t AS (
+          |  SELECT doc_id,
+          |         list_distinct(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS s
+          |  FROM documents WHERE doc_id < 40)
+          |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          |       round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          |             / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+          |FROM t a, t b WHERE a.doc_id < b.doc_id
+          |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.9
+          |ORDER BY a_id, b_id""".stripMargin,
+
+      "q_ann_brute" ->
+        """WITH qz AS (
+          |  SELECT vec_id,
+          |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+          |  FROM embeddings),
+          |qs AS (SELECT vec_id AS query_id, v AS qv FROM qz WHERE vec_id < 5),
+          |pairs AS (
+          |  SELECT query_id, c.vec_id AS neighbor_id,
+          |         list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*c.v[i])) AS dot,
+          |         list_sum(list_transform(qv, x -> x*x)) AS nq,
+          |         list_sum(list_transform(c.v, x -> x*x)) AS nc
+          |  FROM qs, qz c WHERE query_id <> c.vec_id),
+          |sims AS (
+          |  SELECT query_id, neighbor_id,
+          |         round(CAST(dot AS DOUBLE)/(sqrt(CAST(nq AS DOUBLE))*sqrt(CAST(nc AS DOUBLE))), 6) AS sim
+          |  FROM pairs),
+          |ranked AS (
+          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+          |  FROM sims)
+          |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, sim
+          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+      "q_media_features" ->
+        """WITH m AS (
+          |  SELECT doc_id, md5(text) AS h,
+          |         ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS mediaType
+          |  FROM documents),
+          |b AS (
+          |  SELECT doc_id, mediaType,
+          |         list_transform(range(0, 16),
+          |           i -> strpos('123456789abcdef', substr(h, 2*i+1, 1)) * 16
+          |              + strpos('123456789abcdef', substr(h, 2*i+2, 1))) AS bytes
+          |  FROM m),
+          |f AS (
+          |  SELECT doc_id, mediaType,
+          |         CAST(list_sum(bytes) AS DOUBLE)/16 AS byteMean,
+          |         list_max(bytes) AS byteMax,
+          |         CASE mediaType WHEN 'video' THEN 4 WHEN 'audio' THEN 8 ELSE 1 END AS frameCount
+          |  FROM b)
+          |SELECT mediaType, count(*) AS n,
+          |       round(CAST(avg(byteMean) AS DOUBLE), 4) AS avg_byte_mean,
+          |       CAST(max(byteMax) AS INTEGER) AS max_byte,
+          |       CAST(sum(frameCount) AS BIGINT) AS total_frames
+          |FROM f GROUP BY mediaType ORDER BY mediaType""".stripMargin,
 
       "q_doc_quality" ->
         """WITH d AS (

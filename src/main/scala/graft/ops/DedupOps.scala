@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for training-data curation, scale-first:
+  *
+  *  - exact: one hash-aggregate (map-side combine, one shuffle on the
+  *    fingerprint — never on the raw text).
+  *  - MinHash + LSH: shingle → k minhashes → b bands; candidate pairs come
+  *    from a self-equi-join on (band, bandHash), which Spark executes as a
+  *    shuffle hash join on a SMALL projected table (doc_id + band hash), not
+  *    on documents. This is the O(n²)→O(candidates) cut that survives 100 TB.
+  *  - SimHash: 64-bit majority-vote signature; near-dups = identical
+  *    signature (or banded Hamming buckets).
+  *  - n-gram Jaccard: exact verification on LSH candidates only.
+  *
+  * All signatures are deterministic functions of the text (xxhash64 seeded by
+  * constant tags) — replay-stable, no RNG state.
+  */
+object DedupOps {
+
+  /** Exact dedup: keep the min-id row per identical text. */
+  def exact(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(xxhash64(col(textCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** MinHash signature: k independent permutations simulated by
+    * xxhash64(shingle, seed_i); signature[i] = min over shingles.
+    * Pure higher-order expressions — codegen, no UDF.
+    */
+  def withMinHash(df: DataFrame, k: Int = 32, shingleWidth: Int = 3,
+                  textCol: String = "text"): DataFrame = {
+    val sh = TextOps.shingles(col(textCol), shingleWidth)
+    val sig = array((0 until k).map { i =>
+      array_min(transform(sh, s => xxhash64(s, lit(i))))
+    }: _*)
+    df.withColumn("minhash", sig)
+  }
+
+  /** LSH candidate pairs: b bands of r rows (k = b*r); docs sharing any
+    * band-hash are candidates. Returns (a_id, b_id) with a_id < b_id,
+    * deduplicated across bands.
+    */
+  def lshCandidates(df: DataFrame, bands: Int = 8, idCol: String = "doc_id",
+                    k: Int = 32, shingleWidth: Int = 3): DataFrame = {
+    val r = k / bands
+    val sigs = withMinHash(df, k, shingleWidth).select(col(idCol), col("minhash"))
+    val banded = sigs.select(col(idCol),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"), xxhash64(
+          concat_ws(",", slice(col("minhash"), b * r + 1, r))).as("bh"))
+      }: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val l = banded.withColumnRenamed(idCol, "a_id")
+    val rgt = banded.withColumnRenamed(idCol, "b_id")
+    l.join(rgt, Seq("band", "bh"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+  }
+
+  /** Exact n-gram Jaccard for given pairs (verification stage after LSH). */
+  def jaccardVerify(df: DataFrame, pairs: DataFrame, threshold: Double,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    shingleWidth: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol), TextOps.shingles(col(textCol), shingleWidth).as("sh"))
+    val withA = pairs.join(sh.withColumnRenamed(idCol, "a_id")
+      .withColumnRenamed("sh", "sh_a"), "a_id")
+    val withB = withA.join(sh.withColumnRenamed(idCol, "b_id")
+      .withColumnRenamed("sh", "sh_b"), "b_id")
+    withB
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      // threshold on the raw ratio; round only for presentation (6 dp keeps
+      // cross-engine bit-parity on identical integer inputs)
+      .where(col("inter") / col("uni") >= threshold)
+      .withColumn("jaccard", round(col("inter") / col("uni"), 6))
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** Full near-dup pipeline: LSH candidates → exact Jaccard verify. */
+  def nearDuplicates(df: DataFrame, threshold: Double = 0.7,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    jaccardVerify(df, lshCandidates(df, idCol = idCol), threshold, idCol, textCol)
+
+  /** SimHash-64: per token-hash bit votes weighted +1/-1; signature bit b is
+    * the sign of the vote sum. Implemented as one explode + bit-bucket agg —
+    * shuffles (doc_id, 64 longs) per doc, not the text.
+    */
+  def withSimHash(df: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val th = transform(array_distinct(TextOps.tokens(lower(col(textCol)))),
+      t => xxhash64(t))
+    // Unrolled per-bit majority vote (literal shift amounts keep every
+    // expression codegen-able; & 1 because shiftright is arithmetic).
+    val sig = (0 until 64).map { b =>
+      val vote = aggregate(th, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+    df.withColumn("simhash", sig)
+  }
+
+  /** SimHash near-dup buckets: identical signatures (Hamming 0). For a
+    * Hamming<=3 variant, band the 64 bits into 4×16 and join per band.
+    */
+  def simHashDuplicates(df: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val sigs = withSimHash(df, idCol, textCol).select(col(idCol), col("simhash"))
+    sigs.groupBy("simhash").agg(collect_list(col(idCol)).as("ids"),
+        count(lit(1)).as("n"))
+      .where(col("n") > 1)
+  }
+}

@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — a broadcast of the (small) query set
+  * against a full scan of the corpus; one narrow stage, no corpus shuffle.
+  *
+  * Scale path: LSH via signed random projections (deterministic hyperplanes
+  * derived from xxhash64, no RNG) — candidates only where bucket signatures
+  * collide, turning 100 TB × q into per-bucket joins.
+  */
+object SimilarityOps {
+
+  /** dot(a,b) via zip_with + aggregate (codegen'd higher-order fns). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Integer-quantized cosine: embeddings scaled by 1000 and truncated to
+    * longs before the dot product. Exact integer arithmetic ⇒ bit-identical
+    * ranking across engines (used by the DuckDB oracle checks).
+    */
+  def quantize(a: Column, scale: Int = 1000): Column =
+    transform(a, x => floor(x.cast("double") * scale).cast("long"))
+
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Brute-force top-k cosine neighbors for each query row.
+    * `queries` and `corpus` both carry (idCol, vecCol); queries must be small
+    * (it is broadcast). Self-matches excluded.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val qq = quantize(col("qv"))
+    val cq = quantize(col("cv"))
+    val sim = dotQ(qq, cq).cast("double") /
+      (sqrt(dotQ(qq, qq).cast("double")) * sqrt(dotQ(cq, cq).cast("double")))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("neighbor_id"))
+    q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(sim, 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
+  /** Deterministic random-hyperplane LSH signature: bit i = sign of
+    * dot(v, h_i) where h_i[d] = signed hash of (i, d) — reproducible
+    * without materializing hyperplanes.
+    */
+  def withLshBucket(df: DataFrame, bits: Int = 16,
+                    vecCol: String = "embedding"): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val sig = (0 until bits).map { i =>
+      // h_i[d] in {-1,+1} from xxhash64(i, d): cheap simhash-style projection
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1), (x, d) =>
+          when(shiftright(xxhash64(lit(i), d), 1).bitwiseAND(lit(1L)) === 1L, x)
+            .otherwise(-x)),
+        lit(0.0d), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+    df.withColumn("lsh_bucket", sig)
+  }
+
+  /** Bucketed ANN: exact cosine only within colliding LSH buckets (plus the
+    * queries' own buckets), then top-k. Trades recall for a per-bucket join
+    * instead of a full cross product — the 100 TB plan.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 12,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val qb = withLshBucket(queries, bits, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("lsh_bucket"))
+    val cb = withLshBucket(corpus, bits, vecCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("lsh_bucket"))
+    val qq = quantize(col("qv"))
+    val cq = quantize(col("cv"))
+    val sim = dotQ(qq, cq).cast("double") /
+      (sqrt(dotQ(qq, qq).cast("double")) * sqrt(dotQ(cq, cq).cast("double")))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("neighbor_id"))
+    broadcast(qb).join(cb, Seq("lsh_bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(sim, 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+}

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+
+class TrainingOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("tokenCount and bpeish counts") {
+    val df = Seq((1, "the quick brown supercalifragilistic fox"), (2, "")).toDF("id", "text")
+    val out = df.select($"id", TextOps.tokenCount($"text").as("n"),
+      TextOps.bpeishTokenCount($"text").as("b")).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1)._1 == 5)
+    // ceil(3/4)+ceil(5/4)+ceil(5/4)+ceil(20/4)+ceil(3/4) = 1+2+2+5+1
+    assert(out(1)._2 == 11)
+    assert(out(2) == ((0L, 0L)))
+  }
+
+  test("langId picks the marker-heavy language, und when no markers") {
+    val df = Seq(
+      (1, "the cat and the dog is of note"),
+      (2, "der hund und die katze ist"),
+      (3, "xyzzy plugh")).toDF("id", "text")
+    val out = df.select($"id", TextOps.langId($"text").as("l")).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(out(1) == "en" && out(2) == "de" && out(3) == "und")
+  }
+
+  test("qualityScore ranks clean prose above punctuation soup") {
+    val df = Seq(
+      (1, "the quick brown fox jumps over the lazy dog and then the fox sleeps " * 3),
+      (2, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))")).toDF("id", "text")
+    val out = df.select($"id", TextOps.qualityScore($"text").as("q")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(out(1) > 0.8 && out(2) < 0.2)
+  }
+
+  test("exact dedup keeps min-id survivor") {
+    val df = Seq((5, "same"), (2, "same"), (9, "other")).toDF("doc_id", "text")
+    val got = DedupOps.exact(df).select("doc_id").as[Int].collect().sorted
+    assert(got.toSeq == Seq(2, 9))
+  }
+
+  test("minhash signature is identical for identical text, length k") {
+    val df = Seq((1, "a b c d e f g"), (2, "a b c d e f g"), (3, "x y z w")).toDF("doc_id", "text")
+    val sigs = DedupOps.withMinHash(df, k = 16).select("doc_id", "minhash")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1) == sigs(2))
+    assert(sigs(1) != sigs(3))
+    assert(sigs(1).length == 16)
+  }
+
+  test("LSH candidates surface planted near-duplicates") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val copies = docs.select(($"doc_id" + 100000).as("doc_id"),
+      concat($"text", lit(" tail")).as("text"))
+    val cands = DedupOps.lshCandidates(docs.unionAll(copies))
+    val planted = cands.where($"b_id" === $"a_id" + 100000).count()
+    assert(planted >= docs.count() * 9 / 10, s"only $planted planted pairs found")
+  }
+
+  test("jaccardVerify computes exact ratios and filters by threshold") {
+    val df = Seq((1, "a b c d"), (2, "a b c e"), (3, "q r s t")).toDF("doc_id", "text")
+    val pairs = Seq((1, 2), (1, 3)).toDF("a_id", "b_id")
+    val out = DedupOps.jaccardVerify(df, pairs, 0.5, shingleWidth = 1)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(out.keySet == Set((1, 2))) // 3/5 = 0.6 >= 0.5 ; disjoint pair dropped
+    assert(math.abs(out((1, 2)) - 0.6) < 1e-9)
+  }
+
+  test("simhash of same token multiset is equal; near text differs little") {
+    val df = Seq((1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+      (3, "epsilon zeta eta theta")).toDF("doc_id", "text")
+    val s = DedupOps.withSimHash(df).select("doc_id", "simhash")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(s(1) == s(2) && s(1) != s(3))
+  }
+
+  test("brute-force ANN returns k ranked neighbors, no self-match") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val out = SimilarityOps.bruteForceTopK(e, e.where($"vec_id" < 3), k = 4)
+    assert(out.count() == 12)
+    assert(out.where($"query_id" === $"neighbor_id").count() == 0)
+    // ranks are 1..4 per query and sims non-increasing in rank
+    val byQ = out.orderBy("query_id", "rank")
+      .collect().groupBy(_.getLong(0))
+    byQ.values.foreach { rows =>
+      val sims = rows.sortBy(_.getInt(2)).map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH ANN neighbors are a subset of brute-force ordering semantics") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val lsh = SimilarityOps.lshTopK(e, e.where($"vec_id" < 10), k = 3, bits = 6)
+    assert(lsh.count() > 0)
+    assert(lsh.where($"query_id" === $"neighbor_id").count() == 0)
+  }
+
+  test("multimodal feature extraction is deterministic and partition-batched") {
+    val feats = MultimodalOps.extractFeatures(
+      MultimodalOps.syntheticMediaTable(spark, sf))
+    assert(feats.count() == 500)
+    assert(feats.where($"nBytes" =!= 16).count() == 0) // md5 stub = 16 bytes
+    val stats = MultimodalOps.mediaFeatureStats(spark, sf)
+    assert(stats.count() == 3)
+    // video frame count: 16 bytes / 4 = 4 frames per doc
+    val video = stats.where($"mediaType" === "video").collect()(0)
+    assert(video.getLong(4) == video.getLong(1) * 4)
+  }
+}
