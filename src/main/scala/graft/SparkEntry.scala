@@ -112,6 +112,81 @@ object SparkEntry {
         .orderBy("conv_id", "turn_idx")
     }),
 
+    // W5/W7/J1 — lag/lead neighbor comparison: inter-event gap stats per conv.
+    "q_window_lag" -> ((s, dir) => {
+      val wal = TranscriptWal.fromEvents(s, dir)
+      val w = Window.partitionBy("conv_id").orderBy("lsn")
+      // exact integer microseconds end-to-end; divide once at presentation
+      wal.withColumn("gap", unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+        .groupBy("conv_id")
+        .agg(round(sum(col("gap")) / (count(col("gap")) * lit(1000000.0)), 2).as("avg_gap_s"),
+          round(max(col("gap")) / 1000000.0, 2).as("max_gap_s"))
+        .orderBy("conv_id")
+    }),
+
+    // A1 — mode statistics: most frequent role per conversation
+    // (deterministic tie-break on role).
+    "q_mode_role" -> ((s, dir) => {
+      val wal = TranscriptWal.fromEvents(s, dir)
+      val counts = wal.groupBy("conv_id", "role").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("conv_id").orderBy(desc("n"), col("role"))
+      counts.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select("conv_id", "role", "n").orderBy("conv_id")
+    }),
+
+    // A8 — distinct-style ranking: dense_rank of (role, tool) combos by
+    // global frequency (the heading-level assignment kernel).
+    "q_rank_styles" -> ((s, dir) => {
+      val wal = TranscriptWal.fromEvents(s, dir)
+      val styles = wal.groupBy("role", "tool").agg(count(lit(1)).as("n"))
+      styles.withColumn("style_rank",
+          dense_rank().over(Window.orderBy(desc("n"), col("role"))))
+        .select("role", "tool", "n", "style_rank")
+        .orderBy("style_rank")
+    }),
+
+    // J7 — levenshtein arbitration between two sources of truth (the hybrid
+    // stream-vs-OCR trust rule): similarity >= 0.5 trusts the stream.
+    "q_levenshtein" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").where(col("doc_id") < 50)
+        .select(col("doc_id"), substring(col("text"), 1, 60).as("t"))
+      val a = d.select(col("doc_id").as("a_id"), col("t").as("ta"))
+      val b = d.select((col("doc_id") - 1).as("a_id"), col("doc_id").as("b_id"),
+        col("t").as("tb"))
+      a.join(b, "a_id")
+        .withColumn("lev", levenshtein(col("ta"), col("tb")))
+        .withColumn("sim", round(lit(1.0) -
+          col("lev") / greatest(length(col("ta")), length(col("tb"))), 4))
+        .withColumn("trust_stream", col("sim") >= 0.5)
+        .select("a_id", "b_id", "lev", "sim", "trust_stream")
+        .orderBy("a_id")
+    }),
+
+    // W6/O6 analog — gaps-and-islands: longest consecutive turn_idx run per
+    // conversation (label-sequence continuation detection).
+    "q_longest_run" -> ((s, dir) => {
+      val d = TranscriptWal.fromEvents(s, dir)
+        .select("conv_id", "turn_idx").distinct()
+      val w = Window.partitionBy("conv_id").orderBy("turn_idx")
+      d.withColumn("grp", col("turn_idx") - row_number().over(w))
+        .groupBy("conv_id", "grp").agg(count(lit(1)).as("cnt"))
+        .groupBy("conv_id").agg(max(col("cnt")).as("longest_run"))
+        .orderBy("conv_id")
+    }),
+
+    // §2.10 — typed Aggregator: bounded top-3 lsn heap per conversation.
+    "q_topk_agg" -> ((s, dir) => {
+      import s.implicits._
+      val top3 = udaf(new graft.ops.Aggregators.TopKLongs(3))
+      TranscriptWal.fromEvents(s, dir)
+        .groupBy("conv_id").agg(top3(col("lsn")).as("t"))
+        .select(col("conv_id"),
+          element_at(col("t"), 1).as("lsn1"),
+          element_at(col("t"), 2).as("lsn2"),
+          element_at(col("t"), 3).as("lsn3"))
+        .orderBy("conv_id")
+    }),
+
     // ---- Relational coverage (scans/aggs/joins, SURVEY §2.1/2.3/2.4/2.6) ---
 
     // A1-style frequency stats: TPC-H Q1 pricing summary.
@@ -362,6 +437,61 @@ object SparkEntry {
            |SELECT row_number() OVER (ORDER BY conv_id, turn_idx) AS global_id,
            |       conv_id, turn_idx, role
            |FROM state ORDER BY conv_id, turn_idx""".stripMargin,
+
+      "q_window_lag" ->
+        s"""$walCte, g AS (
+           |  SELECT conv_id,
+           |         epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY conv_id ORDER BY lsn)) AS gap
+           |  FROM wal)
+           |SELECT conv_id,
+           |       round(CAST(sum(gap) AS DOUBLE) / (count(gap) * 1000000.0), 2) AS avg_gap_s,
+           |       round(CAST(max(gap) AS DOUBLE) / 1000000.0, 2) AS max_gap_s
+           |FROM g GROUP BY conv_id ORDER BY conv_id""".stripMargin,
+
+      "q_mode_role" ->
+        s"""$walCte, c AS (
+           |  SELECT conv_id, role, count(*) AS n FROM wal GROUP BY conv_id, role),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY conv_id ORDER BY n DESC, role) AS rn FROM c)
+           |SELECT conv_id, role, n FROM r WHERE rn = 1 ORDER BY conv_id""".stripMargin,
+
+      "q_rank_styles" ->
+        s"""$walCte, c AS (
+           |  SELECT role, tool, count(*) AS n FROM wal GROUP BY role, tool)
+           |SELECT role, tool, n,
+           |       CAST(dense_rank() OVER (ORDER BY n DESC, role) AS INTEGER) AS style_rank
+           |FROM c ORDER BY style_rank""".stripMargin,
+
+      "q_levenshtein" ->
+        """WITH d AS (
+          |  SELECT doc_id, substring(text, 1, 60) AS t FROM documents WHERE doc_id < 50)
+          |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          |       CAST(levenshtein(a.t, b.t) AS INTEGER) AS lev,
+          |       round(1.0 - CAST(levenshtein(a.t, b.t) AS DOUBLE)
+          |             / greatest(len(a.t), len(b.t)), 4) AS sim,
+          |       (1.0 - CAST(levenshtein(a.t, b.t) AS DOUBLE)
+          |             / greatest(len(a.t), len(b.t))) >= 0.5 AS trust_stream
+          |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+          |ORDER BY a_id""".stripMargin,
+
+      "q_longest_run" ->
+        s"""$walCte, d AS (SELECT DISTINCT conv_id, turn_idx FROM wal),
+           |g AS (SELECT conv_id, turn_idx,
+           |             turn_idx - row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS grp
+           |      FROM d)
+           |SELECT conv_id, CAST(max(cnt) AS BIGINT) AS longest_run FROM (
+           |  SELECT conv_id, grp, count(*) AS cnt FROM g GROUP BY conv_id, grp)
+           |GROUP BY conv_id ORDER BY conv_id""".stripMargin,
+
+      "q_topk_agg" ->
+        s"""$walCte, r AS (
+           |  SELECT conv_id, lsn,
+           |         row_number() OVER (PARTITION BY conv_id ORDER BY lsn DESC) AS rn
+           |  FROM wal)
+           |SELECT conv_id,
+           |       max(CASE WHEN rn = 1 THEN lsn END) AS lsn1,
+           |       max(CASE WHEN rn = 2 THEN lsn END) AS lsn2,
+           |       max(CASE WHEN rn = 3 THEN lsn END) AS lsn3
+           |FROM r GROUP BY conv_id ORDER BY conv_id""".stripMargin,
 
       "q1_agg" ->
         """SELECT l_returnflag, l_linestatus,

@@ -6,61 +6,67 @@ import scala.jdk.CollectionConverters._
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{StructField, StructType, DataType, StringType}
+import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
 
 /** GraftLake — a from-scratch, snapshot-based, hash-bucketed parquet table
-  * format with ACID-ish single-writer semantics, built because this sandbox
-  * ships no Iceberg/Delta runtime. It supplies exactly the properties the
-  * north rule demands of the sink:
+  * format with single-writer ACID semantics and **merge-on-read** deltas,
+  * built because this sandbox ships no Iceberg/Delta runtime. It supplies the
+  * sink properties the north rule demands:
   *
   *  - **Atomic commits**: a commit is one JSON snapshot file made visible by
-  *    an atomic rename; readers resolve `max(version)`. Crash mid-write
-  *    leaves orphan data files but never a torn table.
-  *  - **Idempotent epochs**: every merge carries an epoch key (streaming
-  *    batchId); the snapshot records committed epochs, so re-applying a batch
-  *    after a foreachBatch retry is a metadata-only no-op — the reference's
-  *    full static-state reset per document (DocumentProcessor.java:715-727)
-  *    recast as exactly-once.
-  *  - **Copy-on-write at bucket granularity**: rows hash into
-  *    `numBuckets` buckets by conv_id. A merge rewrites ONLY buckets that the
-  *    batch touches; untouched buckets carry forward by file reference. At
-  *    100 TB a batch touching k of 4096 buckets rewrites ~k/4096 of the
-  *    table, not the table.
-  *  - **Additive schema evolution**: batch columns unknown to the table
-  *    extend the schema; old files are read through the unified schema
-  *    (missing columns ⇒ null), so the `tool` column can appear mid-stream
-  *    with zero rewrites.
-  *  - **Lineage**: each snapshot embeds per-commit metrics (events applied,
-  *    upserts, deletes, high-water mark).
+  *    an atomic rename; readers resolve `max(version)`. A crash mid-write
+  *    leaves orphan data files, never a torn table.
+  *  - **Idempotent epochs**: every merge carries (namespace, batchId); the
+  *    snapshot records committed epochs, so a foreachBatch retry re-applies
+  *    as a metadata no-op.
+  *  - **Merge-on-read, O(batch) writes**: a merge arbitrates the batch
+  *    internally (one aggregation) and appends the winners — including 'D'
+  *    tombstones — as per-bucket DELTA files. The table is never rewritten on
+  *    ingest; at 10^10 events a batch costs its own size, not the table's.
+  *    Readers arbitrate base ∪ deltas by max lsn per (conv_id, turn_idx).
+  *  - **Bounded read amplification**: when a bucket accumulates more than
+  *    `maxDeltasPerBucket` delta files, it is compacted inline (base+deltas
+  *    arbitrated → new base), amortizing rewrite cost across batches.
+  *  - **Additive schema evolution**: unknown batch columns extend the table
+  *    schema; old files read through the unified schema (missing ⇒ null), so
+  *    a `tool` column can appear mid-stream with zero rewrites.
+  *  - **Lineage**: each snapshot embeds per-commit metrics (events, upserts,
+  *    deletes, high-water mark, running totals).
   *
   * Layout:
   * {{{
   *   table/
-  *     snapshots/v0000000012.json      // atomic-renamed; readers take max
-  *     data/e0000000012/b=17/part-*.parquet
+  *     snapshots/v0000000012.json       // atomic-renamed; readers take max
+  *     data/e0000000012/b=17/part-*.parquet   // delta OR compacted base
   * }}}
   *
-  * State files persist the payload plus `_lsn` (the last writer's lsn) so a
-  * later batch can arbitrate against existing rows with the same total order
-  * used within a batch.
+  * Data files persist `op` ('U' rows and 'D' tombstones) and `_lsn` (the
+  * writer's lsn) alongside the payload. Tombstones survive compaction so a
+  * straggler event with a lower lsn can never resurrect a deleted row; they
+  * are only physically droppable once older than the watermark horizon.
   */
-final class LakeTable(val spark: SparkSession, val path: String, val numBuckets: Int = 64) {
+final class LakeTable(val spark: SparkSession, val path: String,
+                      val numBuckets: Int = 64,
+                      val maxDeltasPerBucket: Int = 4) {
 
   private val mapper = new ObjectMapper()
   private val snapDir = Paths.get(path, "snapshots")
-  private val dataDir = Paths.get(path, "data")
   private val keyCols = Seq("conv_id", "turn_idx")
 
   Files.createDirectories(snapDir)
-  Files.createDirectories(dataDir)
+  Files.createDirectories(Paths.get(path, "data"))
 
   // ---- snapshot model ------------------------------------------------------
+
+  final case class BucketState(base: Seq[String], deltas: Seq[String]) {
+    def allFiles: Seq[String] = base ++ deltas
+  }
 
   final case class Snapshot(
       version: Long,
       schema: StructType,
-      buckets: Map[Int, Seq[String]], // bucket -> data file paths relative to table root
-      committedEpochs: Map[String, Long], // epoch namespace (query id) -> max committed batch id
+      buckets: Map[Int, BucketState],
+      committedEpochs: Map[String, Long],
       highWaterMillis: Long,
       metrics: Map[String, Long]
   )
@@ -82,7 +88,9 @@ final class LakeTable(val spark: SparkSession, val path: String, val numBuckets:
     val root = mapper.readTree(Files.readString(snapPath(v)))
     val schema = DataType.fromJson(root.get("schema").asText).asInstanceOf[StructType]
     val buckets = root.get("buckets").fields().asScala.map { e =>
-      e.getKey.toInt -> e.getValue.elements().asScala.map(_.asText).toSeq
+      val base = e.getValue.get("base").elements().asScala.map(_.asText).toSeq
+      val deltas = e.getValue.get("deltas").elements().asScala.map(_.asText).toSeq
+      e.getKey.toInt -> BucketState(base, deltas)
     }.toMap
     val epochs = root.get("committedEpochs").fields().asScala
       .map(e => e.getKey -> e.getValue.asLong).toMap
@@ -97,8 +105,10 @@ final class LakeTable(val spark: SparkSession, val path: String, val numBuckets:
     node.put("version", s.version)
     node.put("schema", s.schema.json)
     val bn = node.putObject("buckets")
-    s.buckets.foreach { case (b, files) =>
-      val arr = bn.putArray(b.toString); files.foreach(arr.add)
+    s.buckets.foreach { case (b, st) =>
+      val o = bn.putObject(b.toString)
+      val ba = o.putArray("base"); st.base.foreach(ba.add)
+      val da = o.putArray("deltas"); st.deltas.foreach(da.add)
     }
     val en = node.putObject("committedEpochs")
     s.committedEpochs.foreach { case (k, v) => en.put(k, v) }
@@ -114,54 +124,93 @@ final class LakeTable(val spark: SparkSession, val path: String, val numBuckets:
 
   private def bucketExpr = pmod(xxhash64(col("conv_id")), lit(numBuckets)).cast("int")
 
-  /** Read the current table state (payload columns only, no `_lsn`). */
-  def read(): DataFrame = readWithLsn().drop("_lsn")
+  /** Data-file schema = op + payload + _lsn. */
+  private def fileSchema(payload: StructType): StructType =
+    StructType(StructField("op", org.apache.spark.sql.types.StringType) +:
+      payload.fields :+ StructField("_lsn", LongType))
 
-  def readWithLsn(): DataFrame = currentSnapshot match {
-    case None => spark.emptyDataFrame
-    case Some(s) => readBuckets(s, s.buckets.keys.toSeq)
-  }
-
-  private def stateSchema(s: Snapshot): StructType =
-    StructType(s.schema.fields :+ StructField("_lsn", org.apache.spark.sql.types.LongType))
-
-  private def readBuckets(s: Snapshot, buckets: Seq[Int]): DataFrame = {
-    val files = buckets.flatMap(b => s.buckets.getOrElse(b, Nil)).map(f => s"$path/$f")
-    val schema = stateSchema(s)
+  private def scanFiles(files: Seq[String], schema: StructType): DataFrame =
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else
       // Explicit schema: files written before an additive evolution lack the
       // new columns; Spark's parquet reader fills them with nulls.
-      spark.read.schema(schema).parquet(files: _*)
+      spark.read.schema(schema).parquet(files.map(f => s"$path/$f"): _*)
+
+  /** Arbitrate rows by key: max (_lsn, __pri) wins. Used by both the read
+    * path (base ∪ deltas) and compaction. Input must carry op and _lsn.
+    *
+    * Implemented as a window row_number rather than `max_by(struct, struct)`:
+    * a struct aggregation buffer forces ObjectHashAggregateExec, which
+    * sort-falls-back after 128 groups per partition and spills — measured
+    * ~20× slower at millions of keys. The window is one shuffle + an
+    * in-memory per-partition sort, the sort-merge shape that scales.
+    * Ties on (_lsn, __pri) occur only between byte-identical rows
+    * (re-applied epochs), so any winner is the same row.
+    */
+  private def arbitrate(rows: DataFrame, payload: StructType): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_lsn").desc, col("__pri").desc)
+    rows
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select((Seq("conv_id", "turn_idx", "op", "_lsn") ++
+        payload.fieldNames.filterNot(keyCols.contains)).map(col).toIndexedSeq: _*)
+  }
+
+  /** Current live state (payload columns only). */
+  def read(): DataFrame = readWithLsn().drop("_lsn")
+
+  def readWithLsn(): DataFrame = currentSnapshot match {
+    case None => spark.emptyDataFrame
+    case Some(s) =>
+      val schema = fileSchema(s.schema)
+      val hasDeltas = s.buckets.values.exists(_.deltas.nonEmpty)
+      if (!hasDeltas) {
+        // fully-compacted fast path: no arbitration needed, bases hold one
+        // row per key already
+        scanFiles(s.buckets.values.flatMap(_.base).toSeq, schema)
+          .where(col("op") =!= "D").drop("op")
+      } else {
+        val rows = scanFiles(s.buckets.values.flatMap(_.allFiles).toSeq, schema)
+          .withColumn("__pri", lit(0))
+        arbitrate(rows, s.schema)
+          .where(col("op") =!= "D").drop("op")
+      }
   }
 
   // ---- merge (the sink) ----------------------------------------------------
 
   final case class MergeResult(
       applied: Boolean, version: Long, events: Long, upserts: Long,
-      deletes: Long, touchedBuckets: Int, highWaterMillis: Long)
+      deletes: Long, touchedBuckets: Int, compactedBuckets: Int,
+      highWaterMillis: Long)
 
   /** Idempotent MERGE of a change batch, keyed (conv_id, turn_idx).
     *
     * Semantics == `MERGE INTO t USING batch ON key WHEN MATCHED AND op='D'
     * THEN DELETE / WHEN MATCHED AND s.lsn >= t._lsn THEN UPDATE / WHEN NOT
-    * MATCHED AND op<>'D' THEN INSERT`, with last-writer-wins arbitration by
-    * lsn inside the batch and against stored state.
-    *
-    * @param epochNs  namespace for the epoch (e.g. streaming query id)
-    * @param epochId  monotone batch id within the namespace
+    * MATCHED THEN INSERT`, realized as delta append + read-side arbitration.
+    * O(batch) write cost; compaction amortizes read amplification.
     */
   def merge(batch: DataFrame, epochNs: String, epochId: Long): MergeResult = {
     val prev = currentSnapshot
-    // Exactly-once gate: epoch already committed => no-op (foreachBatch retry).
     val alreadyCommitted =
       prev.exists(_.committedEpochs.get(epochNs).exists(_ >= epochId))
     if (alreadyCommitted) {
       val s = prev.get
-      MergeResult(applied = false, s.version, 0, 0, 0, 0, s.highWaterMillis)
+      MergeResult(applied = false, s.version, 0, 0, 0, 0, 0, s.highWaterMillis)
     } else mergeUncommitted(batch, epochNs, epochId, prev)
   }
+
+  private val profile = sys.env.get("GRAFT_PROFILE").contains("1")
+  private def phased[A](name: String)(f: => A): A =
+    if (!profile) f else {
+      val t0 = System.nanoTime(); val r = f
+      println(f"  [lake] $name%-16s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      r
+    }
 
   private def mergeUncommitted(batch: DataFrame, epochNs: String, epochId: Long,
                                prev: Option[Snapshot]): MergeResult = {
@@ -172,110 +221,122 @@ final class LakeTable(val spark: SparkSession, val path: String, val numBuckets:
     val unified = StructType(tableSchema.fields ++
       batchPayloadSchema.fields.filterNot(f => tableSchema.fieldNames.contains(f.name)))
 
-    // Normalize batch: dedup exact (key,lsn) dupes, then LWW per key.
-    // One aggregate, map-side partial; the batch's op/lsn ride along.
-    val alignedBatch = {
+    // The ENTIRE merge is one pass over the batch: align to the unified
+    // schema → one shuffle keyed by bucket → partitioned parquet write, with
+    // lineage stats riding along as an Observation (no separate stats job,
+    // no persist, the upstream scan/stream runs exactly once).
+    //
+    // Delta = the RAW batch. No intra-batch arbitration here: the read path
+    // and compaction already arbitrate by max lsn per key, so pre-collapsing
+    // revisions would buy slightly smaller deltas at the cost of a second
+    // full shuffle of the payload. Tombstones ride along as 'D' rows.
+    val staged = {
       val withMissing = unified.fields.foldLeft(batch) { (df, f) =>
         if (batch.columns.contains(f.name)) df
         else df.withColumn(f.name, lit(null).cast(f.dataType))
       }
-      withMissing.select((Seq("op", "lsn") ++ unified.fieldNames).map(col).toIndexedSeq: _*)
-    }
-    val payload = struct((Seq("op", "lsn") ++
-      unified.fieldNames.filterNot(keyCols.contains)).map(col).toIndexedSeq: _*)
-    val norm = alignedBatch
-      .groupBy(keyCols.map(col): _*)
-      .agg(max_by(payload, col("lsn")).as("__p"))
-      .select(Seq(col("conv_id"), col("turn_idx"),
-        col("__p.op").as("__op"), col("__p.lsn").as("_lsn")) ++
-        unified.fieldNames.filterNot(keyCols.contains).toIndexedSeq
-          .map(c => col(s"__p.$c").as(c)): _*)
-
-    // Batch stats + touched buckets in ONE small job over the normalized batch.
-    val statsRows = norm
-      .groupBy(bucketExpr.as("__b"))
-      .agg(count(lit(1)).as("n"),
-        count(when(col("__op") === "D", 1)).as("d"))
-      .collect()
-    val touched = statsRows.map(_.getInt(0)).toSeq
-    val deletes = statsRows.map(_.getLong(2)).sum
-    val events = statsRows.map(_.getLong(1)).sum
-    val upserts = events - deletes
-    val batchHigh = batch.agg(max(unix_millis(col("commit_ts").cast("timestamp"))))
-      .collect()(0) match {
-      case r if r.isNullAt(0) => 0L
-      case r => r.getLong(0)
+      withMissing
+        .withColumn("_lsn", col("lsn"))
+        .withColumn("__hw", unix_millis(col("commit_ts").cast("timestamp")))
+        .select((Seq("op") ++ unified.fieldNames ++ Seq("_lsn", "__hw")).map(col).toIndexedSeq: _*)
+        .withColumn("b", bucketExpr)
     }
 
     val version = prev.map(_.version + 1).getOrElse(1L)
-    val epochDataRel = f"data/e$version%010d"
+    val carried: Map[Int, BucketState] = prev.map(_.buckets).getOrElse(Map.empty)
+    val rel = f"data/e$version%010d"
 
-    val newBucketFiles: Map[Int, Seq[String]] =
-      if (touched.isEmpty) Map.empty
-      else {
-        // State side: read ONLY touched buckets, through the unified schema.
-        val state = prev match {
-          case None =>
-            val empty = StructType(unified.fields :+
-              StructField("_lsn", org.apache.spark.sql.types.LongType))
-            spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], empty)
-          case Some(s) =>
-            val raw = readBuckets(s, touched)
-            unified.fields.foldLeft(raw) { (df, f) =>
-              if (raw.columns.contains(f.name)) df
-              else df.withColumn(f.name, lit(null).cast(f.dataType))
-            }.select((unified.fieldNames :+ "_lsn").map(col).toIndexedSeq: _*)
-        }
-        // Arbitrate batch vs state: priority = (lsn, isBatch) so an equal-lsn
-        // retry deterministically prefers the (identical) batch row.
-        val stateSide = state
-          .withColumn("__op", lit("U")).withColumn("__pri", lit(0))
-        val batchSide = norm.withColumn("__pri", lit(1))
-          .select(stateSide.columns.map(col).toIndexedSeq: _*)
-        val ordKey = struct(col("_lsn"), col("__pri"))
-        val winPayload = struct((Seq("__op", "_lsn") ++
-          unified.fieldNames.filterNot(keyCols.contains)).map(col).toIndexedSeq: _*)
-        val merged = stateSide.unionAll(batchSide)
-          .groupBy(keyCols.map(col): _*)
-          .agg(max_by(winPayload, ordKey).as("__w"))
-          .where(col("__w.__op") =!= "D")
-          .select(col("conv_id") +: col("turn_idx") +:
-            (unified.fieldNames.filterNot(keyCols.contains) :+ "_lsn").toIndexedSeq
-              .map(c => col(s"__w.$c").as(c)): _*)
-          .select((unified.fieldNames :+ "_lsn").map(col).toIndexedSeq: _*)
+    val obs = org.apache.spark.sql.Observation(s"merge-$version")
+    val out = staged
+      .observe(obs,
+        count(lit(1)).as("n"),
+        count(when(col("op") === "D", 1)).as("d"),
+        max(col("__hw")).as("hw"))
+      .repartition(spark.sparkContext.defaultParallelism * 2, col("b"))
+      .drop("__hw")
+    phased("delta-write")(
+      out.write.mode("overwrite").partitionBy("b").parquet(s"$path/$rel"))
 
-        // Write touched buckets copy-on-write; one shuffle keyed by bucket so
-        // each b=NN dir is written once, then publish paths in the snapshot.
-        val staged = merged.withColumn("b", bucketExpr)
-          .repartition(math.max(touched.size, 1), col("b"))
-        staged.write.mode("overwrite").partitionBy("b")
-          .parquet(s"$path/$epochDataRel")
-        touched.map { b =>
-          val dir = Paths.get(path, epochDataRel, s"b=$b")
-          val files =
-            if (Files.exists(dir))
-              Files.list(dir).iterator().asScala
-                .map(_.getFileName.toString)
-                .filter(n => n.endsWith(".parquet"))
-                .map(n => s"$epochDataRel/b=$b/$n").toSeq.sorted
-            else Nil // bucket emptied by deletes
-          b -> files
-        }.toMap
+    val stats = obs.get
+    val events = stats("n").asInstanceOf[Long]
+    val deletes = stats("d").asInstanceOf[Long]
+    val batchHigh = Option(stats("hw")).map(_.asInstanceOf[Long]).getOrElse(0L)
+
+    val newFiles = listBucketFiles(rel, 0 until numBuckets)
+    val touched = newFiles.filter(_._2.nonEmpty).keys.toSeq
+    val withDeltas: Map[Int, BucketState] =
+      touched.foldLeft(carried) { (acc, b) =>
+        val cur = acc.getOrElse(b, BucketState(Nil, Nil))
+        acc + (b -> cur.copy(deltas = cur.deltas ++ newFiles(b)))
       }
 
-    val carried = prev.map(_.buckets).getOrElse(Map.empty)
-    val snapshot = Snapshot(
-      version = version,
-      schema = unified,
-      buckets = carried ++ newBucketFiles,
-      committedEpochs = prev.map(_.committedEpochs).getOrElse(Map.empty) + (epochNs -> epochId),
-      highWaterMillis = math.max(prev.map(_.highWaterMillis).getOrElse(0L), batchHigh),
-      metrics = Map(
-        "last_events" -> events, "last_upserts" -> upserts, "last_deletes" -> deletes,
-        "total_events" -> (prev.flatMap(_.metrics.get("total_events")).getOrElse(0L) + events))
-    )
-    writeSnapshot(snapshot)
-    MergeResult(applied = true, version, events, upserts, deletes, touched.size,
-      snapshot.highWaterMillis)
+    {
+
+      // Inline compaction of buckets whose delta count exceeds the bound.
+      val needCompact = withDeltas.filter(_._2.deltas.size > maxDeltasPerBucket).keys.toSeq
+      val finalBuckets =
+        if (needCompact.isEmpty) withDeltas
+        else phased("compact")(compactBuckets(withDeltas, needCompact, unified, version))
+
+      val snapshot = Snapshot(
+        version = version,
+        schema = unified,
+        buckets = finalBuckets,
+        committedEpochs = prev.map(_.committedEpochs).getOrElse(Map.empty) + (epochNs -> epochId),
+        highWaterMillis = math.max(prev.map(_.highWaterMillis).getOrElse(0L), batchHigh),
+        metrics = Map(
+          "last_events" -> events, "last_upserts" -> (events - deletes),
+          "last_deletes" -> deletes,
+          "total_events" -> (prev.flatMap(_.metrics.get("total_events")).getOrElse(0L) + events))
+      )
+      writeSnapshot(snapshot)
+      MergeResult(applied = true, version, events, events - deletes, deletes,
+        touched.size, needCompact.size, snapshot.highWaterMillis)
+    }
+  }
+
+  private def listBucketFiles(rel: String, buckets: Seq[Int]): Map[Int, Seq[String]] =
+    buckets.map { b =>
+      val dir = Paths.get(path, rel, s"b=$b")
+      val files =
+        if (Files.exists(dir))
+          Files.list(dir).iterator().asScala
+            .map(_.getFileName.toString)
+            .filter(_.endsWith(".parquet"))
+            .map(n => s"$rel/b=$b/$n").toSeq.sorted
+        else Nil
+      b -> files
+    }.toMap
+
+  /** Fold base+deltas of the given buckets into a new base (one row per key,
+    * tombstones retained). Copy-on-write, but only for over-deltaed buckets.
+    */
+  private def compactBuckets(buckets: Map[Int, BucketState], targets: Seq[Int],
+                             schema: StructType, version: Long): Map[Int, BucketState] = {
+    val fSchema = fileSchema(schema)
+    val files = targets.flatMap(b => buckets(b).allFiles)
+    val rows = scanFiles(files, fSchema).withColumn("__pri", lit(0))
+    val compacted = arbitrate(rows, schema)
+    val rel = f"data/e$version%010d-c"
+    compacted.withColumn("b", bucketExpr)
+      .repartition(math.min(targets.size, spark.sparkContext.defaultParallelism * 2),
+        col("b"))
+      .write.mode("overwrite").partitionBy("b").parquet(s"$path/$rel")
+    val newFiles = listBucketFiles(rel, targets)
+    targets.foldLeft(buckets) { (acc, b) =>
+      acc + (b -> BucketState(base = newFiles.getOrElse(b, Nil), deltas = Nil))
+    }
+  }
+
+  /** Compact every bucket that has any deltas (maintenance entry point). */
+  def compactAll(): Unit = {
+    currentSnapshot.foreach { s =>
+      val targets = s.buckets.filter(_._2.deltas.nonEmpty).keys.toSeq
+      if (targets.nonEmpty) {
+        val version = s.version + 1
+        val finalBuckets = compactBuckets(s.buckets, targets, s.schema, version)
+        writeSnapshot(s.copy(version = version, buckets = finalBuckets))
+      }
+    }
   }
 }

@@ -30,14 +30,18 @@ object DedupOps {
 
   /** MinHash signature: k independent permutations simulated by
     * xxhash64(shingle, seed_i); signature[i] = min over shingles.
-    * Pure higher-order expressions — codegen, no UDF.
+    * ONE aggregate pass over the shingle array (k mins folded together) —
+    * never k separate scans: Catalyst inlines repeated expressions, so the
+    * naive `array((0 until k).map(i => array_min(...)))` form recomputes the
+    * shingling k times (measured 30×+ slowdown).
     */
   def withMinHash(df: DataFrame, k: Int = 32, shingleWidth: Int = 3,
                   textCol: String = "text"): DataFrame = {
     val sh = TextOps.shingles(col(textCol), shingleWidth)
-    val sig = array((0 until k).map { i =>
-      array_min(transform(sh, s => xxhash64(s, lit(i))))
-    }: _*)
+    val sig = aggregate(sh,
+      array_repeat(lit(Long.MaxValue), k),
+      (acc, s) => zip_with(acc, sequence(lit(0), lit(k - 1)),
+        (m, i) => least(m, xxhash64(s, i))))
     df.withColumn("minhash", sig)
   }
 
@@ -92,16 +96,25 @@ object DedupOps {
     */
   def withSimHash(df: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text"): DataFrame = {
-    val th = transform(array_distinct(TextOps.tokens(lower(col(textCol)))),
-      t => xxhash64(t))
-    // Unrolled per-bit majority vote (literal shift amounts keep every
-    // expression codegen-able; & 1 because shiftright is arithmetic).
+    // explode → ONE hash-aggregate with 64 conditional sums (map-side
+    // partials shuffle 64 longs per doc, never the text). The per-row
+    // higher-order-function formulation re-evaluates the token array per bit
+    // (Catalyst inlines it 64×) — measured order-of-magnitude slower.
+    val tok = df.select(col(idCol),
+      explode_outer(array_distinct(TextOps.tokens(lower(col(textCol))))).as("__t"))
+      .select(col(idCol), xxhash64(col("__t")).as("__h"), col("__t").isNotNull.as("__v"))
+    val voteAggs = (0 until 64).map { b =>
+      // literal shift amounts keep codegen; & 1 because shiftright is arithmetic
+      sum(when(!col("__v"), 0L).otherwise(
+        when(shiftright(col("__h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
+          .otherwise(-1L))).as(s"__b$b")
+    }
     val sig = (0 until 64).map { b =>
-      val vote = aggregate(th, lit(0L), (acc, h) =>
-        acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+      when(col(s"__b$b") > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
-    df.withColumn("simhash", sig)
+    val sigs = tok.groupBy(col(idCol)).agg(voteAggs.head, voteAggs.tail: _*)
+      .select(col(idCol), sig.as("simhash"))
+    df.join(sigs, Seq(idCol))
   }
 
   /** SimHash near-dup buckets: identical signatures (Hamming 0). For a

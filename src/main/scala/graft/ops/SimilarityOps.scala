@@ -39,12 +39,17 @@ object SimilarityOps {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    val qq = quantize(col("qv"))
-    val cq = quantize(col("cv"))
-    val sim = dotQ(qq, cq).cast("double") /
-      (sqrt(dotQ(qq, qq).cast("double")) * sqrt(dotQ(cq, cq).cast("double")))
+    // Quantized vectors and their norms are computed per ROW on each join
+    // side (N + Q evaluations), never per PAIR (N×Q) — only the cross dot
+    // product runs inside the join.
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      quantize(col(vecCol)).as("qv"))
+      .select(col("query_id"), col("qv"), dotQ(col("qv"), col("qv")).as("qn")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      quantize(col(vecCol)).as("cv"))
+      .select(col("neighbor_id"), col("cv"), dotQ(col("cv"), col("cv")).as("cn"))
+    val sim = dotQ(col("qv"), col("cv")).cast("double") /
+      (sqrt(col("qn").cast("double")) * sqrt(col("cn").cast("double")))
     val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("neighbor_id"))
     q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", round(sim, 6))
@@ -79,13 +84,15 @@ object SimilarityOps {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 12,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val qb = withLshBucket(queries, bits, vecCol)
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("lsh_bucket"))
+      .select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv"), col("lsh_bucket"))
+      .select(col("query_id"), col("qv"), col("lsh_bucket"),
+        dotQ(col("qv"), col("qv")).as("qn"))
     val cb = withLshBucket(corpus, bits, vecCol)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("lsh_bucket"))
-    val qq = quantize(col("qv"))
-    val cq = quantize(col("cv"))
-    val sim = dotQ(qq, cq).cast("double") /
-      (sqrt(dotQ(qq, qq).cast("double")) * sqrt(dotQ(cq, cq).cast("double")))
+      .select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv"), col("lsh_bucket"))
+      .select(col("neighbor_id"), col("cv"), col("lsh_bucket"),
+        dotQ(col("cv"), col("cv")).as("cn"))
+    val sim = dotQ(col("qv"), col("cv")).cast("double") /
+      (sqrt(col("qn").cast("double")) * sqrt(col("cn").cast("double")))
     val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("neighbor_id"))
     broadcast(qb).join(cb, Seq("lsh_bucket"))
       .where(col("query_id") =!= col("neighbor_id"))

@@ -25,9 +25,13 @@ import graft.ops.CdcOps
   */
 object CdcIngestJob {
 
-  /** The per-batch transform pipeline — also usable in pure batch replay. */
+  /** The per-batch transform pipeline — also usable in pure batch replay.
+    * NOTE: (key,lsn) duplicate events need no explicit dedup stage — the
+    * merge's single arbitration aggregate collapses them for free (identical
+    * payloads, same max_by winner), saving a full shuffle per batch.
+    */
   def pipeline(batch: DataFrame, conf: IngestConfig, highWaterMillis: Long): DataFrame = {
-    var df = CdcOps.dedupByKeyLsn(batch)
+    var df = batch
     if (conf.enforceWatermark && highWaterMillis > 0L)
       df = CdcOps.dropLate(df, highWaterMillis, expr(s"INTERVAL '${conf.watermarkDelay}'"))
     if (conf.sanitize) df = CdcOps.sanitize(df)
