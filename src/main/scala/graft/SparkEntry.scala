@@ -174,6 +174,44 @@ object SparkEntry {
         .orderBy("conv_id")
     }),
 
+    // S9 — plain-text report sink: ordered traversal per conversation
+    // rendered to one document (distributed, no driver collect).
+    "q_export_text" -> ((s, dir) => {
+      val state = TranscriptWal.expectedState(TranscriptWal.fromEvents(s, dir))
+      graft.sink.TranscriptExport.toText(state).orderBy("conv_id")
+    }),
+
+    // S7 — markdown report sink (escaping + tool annotations). Rows-only.
+    "q_export_markdown" -> ((s, dir) => {
+      val state = TranscriptWal.expectedState(TranscriptWal.fromEvents(s, dir))
+      graft.sink.TranscriptExport.toMarkdown(state).orderBy("conv_id")
+    }),
+
+    // §3.3 — triage routing cascade: per-conv signals → route column.
+    "q_route_triage" -> ((s, dir) => {
+      val wal = TranscriptWal.fromEvents(s, dir)
+      graft.ops.Route.triage(wal, deleteHeavy = 0.21, updateStorm = 100)
+        .groupBy("route").agg(count(lit(1)).as("n_convs"))
+        .orderBy("route")
+    }),
+
+    // S2 — corrupt-record policy: JSON WAL with planted garbage; clean rows
+    // pass, rejects counted (warn-and-continue).
+    "q_corrupt_source" -> ((s, dir) => {
+      val work = Files.createTempDirectory("corruptwal").toString
+      val good = TranscriptWal.fromEvents(s, dir).where(col("lsn") < 100)
+      good.coalesce(1).write.mode("overwrite").json(s"$work/wal")
+      val bad = Seq("{not json at all", """{"op":"U"}""", """{"lsn":5}""",
+        """{"op":"X","lsn":"NaN","conv_id":7}""")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$work/wal/zz-corrupt.json"),
+        bad.mkString("\n").getBytes)
+      val (clean, corrupt) = graft.wal.WalSource.readJson(s, s"$work/wal")
+      clean.groupBy("op").agg(count(lit(1)).as("n_clean"))
+        .withColumn("n_corrupt", lit(corrupt.count()))
+        .orderBy("op")
+    }),
+
     // §2.10 — typed Aggregator: bounded top-3 lsn heap per conversation.
     "q_topk_agg" -> ((s, dir) => {
       import s.implicits._
@@ -481,6 +519,37 @@ object SparkEntry {
            |SELECT conv_id, CAST(max(cnt) AS BIGINT) AS longest_run FROM (
            |  SELECT conv_id, grp, count(*) AS cnt FROM g GROUP BY conv_id, grp)
            |GROUP BY conv_id ORDER BY conv_id""".stripMargin,
+
+      "q_export_text" ->
+        s"""$walCte, latest AS (
+           |  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+           |  FROM wal),
+           |state AS (SELECT conv_id, turn_idx, role, text FROM latest WHERE rn = 1 AND op <> 'D')
+           |SELECT conv_id,
+           |       conv_id || chr(10) ||
+           |       string_agg('  ' || role || ': ' || text, chr(10) ORDER BY turn_idx) AS doc
+           |FROM state GROUP BY conv_id ORDER BY conv_id""".stripMargin,
+
+      "q_route_triage" ->
+        s"""$walCte, sig AS (
+           |  SELECT conv_id, count(*) AS n,
+           |         count(*) FILTER (op = 'D') AS dels,
+           |         count(DISTINCT turn_idx) AS turns
+           |  FROM wal GROUP BY conv_id),
+           |r AS (
+           |  SELECT CASE
+           |    WHEN CAST(dels AS DOUBLE) / n > 0.21 THEN 'quarantine'
+           |    WHEN n > 100 AND turns < CAST(n AS DOUBLE) / 10 THEN 'review'
+           |    ELSE 'fast' END AS route
+           |  FROM sig)
+           |SELECT route, count(*) AS n_convs FROM r GROUP BY route ORDER BY route""".stripMargin,
+
+      "q_corrupt_source" ->
+        """WITH wal AS (
+          |  SELECT CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+          |  FROM events WHERE event_id < 100)
+          |SELECT op, count(*) AS n_clean, CAST(4 AS BIGINT) AS n_corrupt
+          |FROM wal GROUP BY op ORDER BY op""".stripMargin,
 
       "q_topk_agg" ->
         s"""$walCte, r AS (

@@ -328,6 +328,27 @@ final class LakeTable(val spark: SparkSession, val path: String,
     }
   }
 
+  /** Bucket-pruned point lookup: computes the hash bucket of the key and
+    * scans ONLY that bucket's files — at 4096 buckets a conversation lookup
+    * reads ~1/4096 of the table. Same arbitration semantics as [[read]].
+    */
+  def readConv(convId: String): DataFrame = currentSnapshot match {
+    case None => spark.emptyDataFrame
+    case Some(s) =>
+      // Compute the bucket with the SAME expression the writer uses, on a
+      // one-row frame — guarantees writer/reader hash agreement.
+      val bucket = spark.range(1)
+        .select(pmod(xxhash64(lit(convId)), lit(numBuckets)).cast("int"))
+        .collect()(0).getInt(0)
+      val st = s.buckets.getOrElse(bucket, BucketState(Nil, Nil))
+      val schema = fileSchema(s.schema)
+      val rows = scanFiles(st.allFiles, schema).where(col("conv_id") === convId)
+      val arb =
+        if (st.deltas.isEmpty) rows
+        else arbitrate(rows.withColumn("__pri", lit(0)), s.schema)
+      arb.where(col("op") =!= "D").drop("op", "_lsn")
+  }
+
   /** Compact every bucket that has any deltas (maintenance entry point). */
   def compactAll(): Unit = {
     currentSnapshot.foreach { s =>

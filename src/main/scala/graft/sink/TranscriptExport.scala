@@ -1,0 +1,62 @@
+package graft.sink
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Report sinks (SURVEY §2.1 S7–S9): the reference walks one element tree per
+  * enabled format (markdown/HTML/text, DocumentProcessor.java:542-603); here
+  * one ordered traversal per conversation renders a formatted document, fully
+  * distributed (per-conv aggregation, no driver collect).
+  *
+  * The traversal kernel is shared: sort turns within a conversation by
+  * turn_idx (array_sort on collected structs — intra-group order is explicit,
+  * never physical row order), then fold each turn through a format-specific
+  * renderer expression.
+  */
+object TranscriptExport {
+
+  /** One row per conversation: (conv_id, doc) with turns rendered in order. */
+  private def renderPerConv(state: DataFrame,
+                            turnRenderer: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                            header: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                            sep: String): DataFrame = {
+    val turn = struct(col("turn_idx"), col("role"), col("text"), col("tool"))
+    state
+      .groupBy("conv_id")
+      .agg(array_sort(collect_list(turn)).as("turns")) // sorts by turn_idx (first field)
+      .select(col("conv_id"),
+        concat(header(col("conv_id")),
+          array_join(transform(col("turns"), turnRenderer), sep)).as("doc"))
+  }
+
+  /** Markdown: `## conv` header, `**role** (tool): text` per turn. */
+  def toMarkdown(state: DataFrame): DataFrame =
+    renderPerConv(state,
+      t => concat(lit("**"), t.getField("role"), lit("**"),
+        when(t.getField("tool").isNotNull,
+          concat(lit(" ("), t.getField("tool"), lit(")"))).otherwise(lit("")),
+        lit(": "),
+        // escape markdown control chars exactly once (reference:
+        // markdown/MarkdownGenerator.java:441-450)
+        regexp_replace(t.getField("text"), "([*_`\\[\\]])", "\\\\$1")),
+      c => concat(lit("## "), c, lit("\n\n")),
+      sep = "\n\n")
+
+  /** Plain text: indented `role: text` lines. */
+  def toText(state: DataFrame): DataFrame =
+    renderPerConv(state,
+      t => concat(lit("  "), t.getField("role"), lit(": "), t.getField("text")),
+      c => concat(c, lit("\n")),
+      sep = "\n")
+
+  /** Write one file tree per format — the reference's multi-sink single
+    * traversal (same materialized state feeds every sink).
+    */
+  def writeAll(state: DataFrame, outDir: String): Unit = {
+    val cached = state.persist()
+    try {
+      toMarkdown(cached).write.mode(SaveMode.Overwrite).json(s"$outDir/markdown")
+      toText(cached).write.mode(SaveMode.Overwrite).json(s"$outDir/text")
+    } finally cached.unpersist(blocking = false)
+  }
+}

@@ -38,6 +38,13 @@ object CdcIngestJob {
     df
   }
 
+  /** Register a lineage-metrics listener on the session's stream bus. */
+  def attachListener(spark: SparkSession): MetricsListener = {
+    val l = new MetricsListener
+    spark.streams.addListener(l)
+    l
+  }
+
   /** Start the streaming query. Caller owns stop/await. */
   def start(spark: SparkSession, walDir: String, conf: IngestConfig,
             withTool: Boolean = true): StreamingQuery = {
@@ -48,6 +55,9 @@ object CdcIngestJob {
       .option("maxFilesPerTrigger", conf.maxFilesPerTrigger)
       .parquet(walDir)
       .withWatermark("commit_ts", conf.watermarkDelay)
+      // surfaced per batch on the streaming progress bus (MetricsListener)
+      .observe("wal", count(lit(1)).as("events"),
+        max(col("commit_ts")).as("max_commit_ts"))
 
     // Epoch namespace must be scoped to the checkpoint: batchIds restart at 0
     // for a new checkpoint, so a table fed by successive streams (or multiple
