@@ -66,7 +66,7 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val nEvents = sys.env.getOrElse("SPARK_GRAFT_BENCH_EVENTS", "4000000").toLong
+    val nEvents = sys.env.getOrElse("SPARK_GRAFT_BENCH_EVENTS", "8000000").toLong
     val buckets = 64
 
     // Materialize the WAL once; both parallelism levels replay the SAME files.

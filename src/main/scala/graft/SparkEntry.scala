@@ -355,6 +355,17 @@ object SparkEntry {
         .orderBy("min_id")
     }),
 
+    // SimHash banded near-dup with native codegen hamming64 (Hamming<=3);
+    // planted copies with one flipped token land within distance. Rows-only.
+    "q_simhash_near" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select("doc_id", "text")
+      val copies = d.select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" flip")).as("text"))
+      graft.ops.DedupOps.simHashNearDuplicates(d.unionAll(copies), maxHamming = 7)
+        .where(col("b_id") === col("a_id") + 100000)
+        .orderBy("a_id")
+    }),
+
     // Brute-force cosine top-5 neighbors for the first 5 vectors
     // (integer-quantized for cross-engine exactness).
     "q_ann_brute" -> ((s, dir) => {

@@ -47,7 +47,14 @@ import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
   */
 final class LakeTable(val spark: SparkSession, val path: String,
                       val numBuckets: Int = 64,
-                      val maxDeltasPerBucket: Int = 4) {
+                      val maxDeltasPerBucket: Int = 4,
+                      /** Salt width for the delta-write shuffle: a hot
+                        * conversation maps to ONE bucket, which without
+                        * salting serializes that bucket's write into one
+                        * task. Salting by `pmod(xxhash64(lsn), salt)` spreads
+                        * it across `salt` writer tasks; `partitionBy(b)`
+                        * still lands files in the right bucket dir. */
+                      val writeSalt: Int = 4) {
 
   private val mapper = new ObjectMapper()
   private val snapDir = Paths.get(path, "snapshots")
@@ -252,7 +259,8 @@ final class LakeTable(val spark: SparkSession, val path: String,
         count(lit(1)).as("n"),
         count(when(col("op") === "D", 1)).as("d"),
         max(col("__hw")).as("hw"))
-      .repartition(spark.sparkContext.defaultParallelism * 2, col("b"))
+      .repartition(spark.sparkContext.defaultParallelism * 2,
+        col("b"), pmod(xxhash64(col("_lsn")), lit(writeSalt)))
       .drop("__hw")
     phased("delta-write")(
       out.write.mode("overwrite").partitionBy("b").parquet(s"$path/$rel"))

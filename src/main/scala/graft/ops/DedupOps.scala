@@ -117,8 +117,38 @@ object DedupOps {
     df.join(sigs, Seq(idCol))
   }
 
+  /** Banded SimHash near-dup pairs with Hamming distance <= maxHamming.
+    * 64 bits band into 8×8; by pigeonhole any pair within Hamming 7 shares
+    * at least one exact band (banding is COMPLETE for maxHamming <= 7), so
+    * candidates come from 8 cheap equi-joins and the exact distance check
+    * runs only on collisions — via the native codegen expression
+    * [[graft.functions.Hamming64]].
+    */
+  def simHashNearDuplicates(df: DataFrame, maxHamming: Int = 7,
+                            idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    import graft.functions.Hamming64.hamming64
+    val sigs = withSimHash(df, idCol, textCol).select(col(idCol), col("simhash"))
+    val banded = sigs.select(col(idCol), col("simhash"),
+      explode(array((0 until 8).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 8).bitwiseAND(lit(0xffL)).as("bh"))
+      }: _*)).as("bb"))
+      .select(col(idCol), col("simhash"),
+        col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val l = banded.select(col(idCol).as("a_id"), col("simhash").as("sa"),
+      col("band"), col("bh"))
+    val r = banded.select(col(idCol).as("b_id"), col("simhash").as("sb"),
+      col("band"), col("bh"))
+    l.join(r, Seq("band", "bh"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), hamming64(col("sa"), col("sb")).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** SimHash near-dup buckets: identical signatures (Hamming 0). For a
-    * Hamming<=3 variant, band the 64 bits into 4×16 and join per band.
+    * Hamming<=3 variant see [[simHashNearDuplicates]].
     */
   def simHashDuplicates(df: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {

@@ -110,5 +110,35 @@ class CoverageOpsSpec extends AnyFunSuite {
     assert(pruned.count() > 0)
   }
 
+  test("hamming64 native expression: eval + codegen parity") {
+    import graft.functions.Hamming64.hamming64
+    val df = Seq((0L, 0L), (-1L, 0L), (0b1011L, 0b0001L)).toDF("a", "b")
+    val got = df.select(hamming64($"a", $"b")).as[Int].collect().toSeq
+    assert(got == Seq(0, 64, 2))
+    // survives whole-stage codegen in a realistic plan
+    val big = spark.range(1000).select(xxhash64($"id").as("a"), xxhash64($"id" + 1).as("b"))
+    assert(big.select(hamming64($"a", $"b")).where(col("hamming64(a, b)") >= 0).count() == 1000)
+  }
+
+  test("simHashNearDuplicates banding is COMPLETE vs brute force at h<=7") {
+    import graft.functions.Hamming64.hamming64
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(100)
+    val copies = docs.select(($"doc_id" + 100000).as("doc_id"),
+      concat($"text", lit(" flip")).as("text"))
+    val corpus = docs.unionAll(copies)
+    val banded = graft.ops.DedupOps.simHashNearDuplicates(corpus, maxHamming = 7)
+      .select("a_id", "b_id", "hamming")
+    // brute-force ground truth over all pairs
+    val sigs = graft.ops.DedupOps.withSimHash(corpus).select($"doc_id", $"simhash")
+    val l = sigs.select($"doc_id".as("a_id"), $"simhash".as("sa"))
+    val r = sigs.select($"doc_id".as("b_id"), $"simhash".as("sb"))
+    val brute = l.crossJoin(r).where($"a_id" < $"b_id")
+      .select($"a_id", $"b_id", hamming64($"sa", $"sb").as("hamming"))
+      .where($"hamming" <= 7)
+    assert(banded.exceptAll(brute).count() == 0 && brute.exceptAll(banded).count() == 0)
+    assert(brute.count() > 0) // some planted copies do land within 7 bits
+  }
+
   private def ts(s: Long) = new java.sql.Timestamp(s * 1000)
 }
