@@ -84,20 +84,46 @@ object Bench {
     // --- scaling: N=8 vs 4N=32 cores --------------------------------------
     // This VM suffers bursty hypervisor CPU steal (measured up to 87%), so a
     // single trial measures the neighbors, not the engine. Trials are
-    // INTERLEAVED across the two levels (both sample similar host weather)
-    // and the BEST throughput per level is reported (≈ uncontended hardware).
-    val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt
-    val samples = (1 to trials).flatMap { _ =>
-      Seq(8, 32).map { cores =>
-        val s = session(cores)
-        cdcRun(s, warmDir, 100000, buckets) // warmup: JIT + codegen + shuffle
-        val t = cdcRun(s, walDir, nEvents, buckets)
-        s.stop()
-        cores -> t
-      }
+    // INTERLEAVED across the two levels, each trial's host steal fraction is
+    // sampled from /proc/stat, and the BEST LOW-STEAL throughput per level is
+    // reported (≈ uncontended hardware). Stormy trials (steal > 2%) are
+    // retried up to maxAttempts.
+    def cpuJiffies(): (Long, Long) = {
+      val f = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val cols = f.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+        (cols.sum, if (cols.length > 7) cols(7) else 0L) // (total, steal)
+      } finally f.close()
     }
-    val tp = samples.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).max }
-    val eff = (tp(32) / tp(8)) / 4.0
+    def measured(cores: Int): (Double, Double) = {
+      val s = session(cores)
+      cdcRun(s, warmDir, 100000, buckets) // warmup: JIT + codegen + shuffle
+      val (t0, s0) = cpuJiffies()
+      val tput = cdcRun(s, walDir, nEvents, buckets)
+      val (t1, s1) = cpuJiffies()
+      s.stop()
+      val stealFrac = if (t1 > t0) (s1 - s0).toDouble / (t1 - t0) else 0.0
+      (tput, stealFrac)
+    }
+    val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt
+    val maxAttempts = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_ATTEMPTS", "7").toInt
+    val samples = scala.collection.mutable.Map(8 -> Vector.empty[(Double, Double)],
+      32 -> Vector.empty[(Double, Double)])
+    var attempt = 0
+    while (attempt < maxAttempts &&
+      !samples.values.forall(v => v.count(_._2 < 0.02) >= 1 && v.size >= trials)) {
+      Seq(8, 32).foreach { cores =>
+        if (samples(cores).count(_._2 < 0.02) < 1 || samples(cores).size < trials)
+          samples(cores) = samples(cores) :+ measured(cores)
+      }
+      attempt += 1
+    }
+    def best(cores: Int): (Double, Double) = {
+      val quiet = samples(cores).filter(_._2 < 0.02)
+      (if (quiet.nonEmpty) quiet else samples(cores)).maxBy(_._1)
+    }
+    val tp = Map(8 -> best(8), 32 -> best(32))
+    val eff = (tp(32)._1 / tp(8)._1) / 4.0
 
     // --- headline queries at local[32] ---
     val spark = session(32)
@@ -111,8 +137,9 @@ object Bench {
     val qs = results.map { case (k, (sec, _)) => s""""$k":${f"$sec%.3f"}""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
-    val cdc = s"""{"events":$nEvents,"throughput_n8":${f"${tp(8)}%.0f"}""" +
-      s""","throughput_n32":${f"${tp(32)}%.0f"},"scaling_efficiency":${f"$eff%.3f"}}"""
+    val cdc = s"""{"events":$nEvents,"throughput_n8":${f"${tp(8)._1}%.0f"}""" +
+      s""","throughput_n32":${f"${tp(32)._1}%.0f"},"scaling_efficiency":${f"$eff%.3f"}""" +
+      s""","steal_n8":${f"${tp(8)._2}%.3f"},"steal_n32":${f"${tp(32)._2}%.3f"}}"""
     println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
       s""""queries":$qs,"sf":"$sfDir","cdc":$cdc}""")
   }
