@@ -10,11 +10,26 @@ import graft.wal.TranscriptWal
 
 /** Benchmark driver. Emits ONE JSON line:
   * {"metric":"total","value":<sec>,"unit":"sec","queries":{...},"sf":...,
-  *  "cdc":{...throughput at local[8] and local[32] + scaling efficiency...}}
+  *  "cdc":{...throughput at local[2] and local[8] + scaling efficiency...}}
   *
-  * The CDC section is the north-rule evidence: the SAME ingest job (generate
-  * WAL → dedup → arbitrate → bucketed merge) at two parallelism levels on the
-  * same input size; efficiency = (T_4N / T_N) / 4 where T is events/sec.
+  * The CDC section is the north-rule evidence: the SAME ingest job (read a
+  * pre-materialized WAL → sanitize pipeline → bucketed idempotent merge) over
+  * the SAME files at two parallelism levels, N=2 and 4N=8 cores
+  * (BASELINE.md allows "N vs 4N cores"; 32 threads saturate this 32-CPU
+  * host — its ~20 non-task JVM/OS threads and the memory-bandwidth-bound
+  * shuffle+write make local[8]→local[32] measure the host, not the engine).
+  *
+  * Protocol (round-2, after the round-1 postmortem):
+  *  - The two levels run back-to-back as an interleaved PAIR; efficiency is
+  *    computed per pair, so both sides of each ratio share the same
+  *    host-weather window. The headline is the MEDIAN of quiet pairs — never
+  *    a best-N and best-4N stitched from different windows.
+  *  - A pair is "quiet" when hypervisor steal (sampled from /proc/stat
+  *    around each trial) stays < 2% on both sides; stormy pairs are retried
+  *    up to maxAttempts and the JSON flags `quiet_fallback` if none is quiet.
+  *  - IDENTICAL PLAN at both levels: spark.sql.shuffle.partitions and the
+  *    scan split counts are fixed (sized to the data, as on a real cluster),
+  *    so adding cores changes concurrency, never task shapes.
   */
 object Bench {
 
@@ -31,7 +46,9 @@ object Bench {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
-      .config("spark.sql.shuffle.partitions", cores.toString)
+      // fixed, data-sized partitioning — the plan must not depend on cores
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.files.minPartitionNum", "64")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.local.dir", s"$benchRoot/spark-local")
@@ -41,17 +58,13 @@ object Bench {
     s
   }
 
-  /** Timed CDC apply of a pre-materialized parquet WAL (scan → pipeline →
-    * single-aggregation merge → bucketed write); returns events/sec. This is
-    * the production job shape: the binlog already exists, ingest pays for
-    * reading + applying it.
-    */
-  /** The benched pipeline runs with sanitization ON — the full production
-    * stage list (watermark off only because the replay is a fresh table).
-    * This also keeps the job compute-dominant, which matters here: the
-    * sandbox VM's guest memory is lazily faulted from an oversubscribed
-    * host, so pure write-bound jobs measure host paging (80-95%% sys time
-    * observed), not the engine.
+  /** Timed CDC apply of a pre-materialized parquet WAL (scan → sanitize-on
+    * pipeline → single-shuffle merge → bucketed write); returns events/sec.
+    * This is the production job shape: the binlog already exists, ingest pays
+    * for reading + applying it. Sanitize-on keeps the job compute-dominant,
+    * which also matters here: this VM's guest memory is lazily faulted from
+    * an oversubscribed host, so a pure write-bound job measures host paging
+    * (80-95% sys time observed), not the engine.
     */
   private def cdcRun(spark: SparkSession, walDir: String, nEvents: Long,
                      buckets: Int): Double = {
@@ -64,10 +77,23 @@ object Bench {
     nEvents / ((System.nanoTime() - t0) / 1e9)
   }
 
+  /** (total, steal, sys) jiffies from /proc/stat line 1. */
+  private def cpuJiffies(): (Long, Long, Long) = {
+    val f = scala.io.Source.fromFile("/proc/stat")
+    try {
+      val cols = f.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+      (cols.sum, if (cols.length > 7) cols(7) else 0L, cols(2))
+    } finally f.close()
+  }
+
+  final case class Trial(tput: Double, steal: Double, sys: Double)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val nEvents = sys.env.getOrElse("SPARK_GRAFT_BENCH_EVENTS", "8000000").toLong
     val buckets = 64
+    val nLow = 2
+    val nHigh = 8
 
     // Materialize the WAL once; both parallelism levels replay the SAME files.
     Files.createDirectories(Paths.get(benchRoot))
@@ -81,49 +107,38 @@ object Bench {
       .repartition(8).write.parquet(warmDir)
     gen.stop()
 
-    // --- scaling: N=8 vs 4N=32 cores --------------------------------------
-    // This VM suffers bursty hypervisor CPU steal (measured up to 87%), so a
-    // single trial measures the neighbors, not the engine. Trials are
-    // INTERLEAVED across the two levels, each trial's host steal fraction is
-    // sampled from /proc/stat, and the BEST LOW-STEAL throughput per level is
-    // reported (≈ uncontended hardware). Stormy trials (steal > 2%) are
-    // retried up to maxAttempts.
-    def cpuJiffies(): (Long, Long) = {
-      val f = scala.io.Source.fromFile("/proc/stat")
-      try {
-        val cols = f.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
-        (cols.sum, if (cols.length > 7) cols(7) else 0L) // (total, steal)
-      } finally f.close()
-    }
-    def measured(cores: Int): (Double, Double) = {
+    def measured(cores: Int): Trial = {
       val s = session(cores)
       cdcRun(s, warmDir, 100000, buckets) // warmup: JIT + codegen + shuffle
-      val (t0, s0) = cpuJiffies()
+      val (t0, s0, y0) = cpuJiffies()
       val tput = cdcRun(s, walDir, nEvents, buckets)
-      val (t1, s1) = cpuJiffies()
+      val (t1, s1, y1) = cpuJiffies()
       s.stop()
-      val stealFrac = if (t1 > t0) (s1 - s0).toDouble / (t1 - t0) else 0.0
-      (tput, stealFrac)
+      val d = math.max(1L, t1 - t0)
+      Trial(tput, (s1 - s0).toDouble / d, (y1 - y0).toDouble / d)
     }
-    val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt
-    val maxAttempts = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_ATTEMPTS", "7").toInt
-    val samples = scala.collection.mutable.Map(8 -> Vector.empty[(Double, Double)],
-      32 -> Vector.empty[(Double, Double)])
+
+    val targetPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt
+    val maxAttempts = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_ATTEMPTS", "6").toInt
+    final case class Pair(low: Trial, high: Trial) {
+      def eff: Double = (high.tput / low.tput) / (nHigh.toDouble / nLow)
+      def quiet: Boolean = low.steal < 0.02 && high.steal < 0.02
+    }
+    var pairs = Vector.empty[Pair]
     var attempt = 0
     while (attempt < maxAttempts &&
-      !samples.values.forall(v => v.count(_._2 < 0.02) >= 1 && v.size >= trials)) {
-      Seq(8, 32).foreach { cores =>
-        if (samples(cores).count(_._2 < 0.02) < 1 || samples(cores).size < trials)
-          samples(cores) = samples(cores) :+ measured(cores)
-      }
+      (pairs.size < targetPairs || !pairs.exists(_.quiet))) {
+      pairs = pairs :+ Pair(measured(nLow), measured(nHigh))
       attempt += 1
     }
-    def best(cores: Int): (Double, Double) = {
-      val quiet = samples(cores).filter(_._2 < 0.02)
-      (if (quiet.nonEmpty) quiet else samples(cores)).maxBy(_._1)
-    }
-    val tp = Map(8 -> best(8), 32 -> best(32))
-    val eff = (tp(32)._1 / tp(8)._1) / 4.0
+    val quietPairs = pairs.filter(_.quiet)
+    val quietFallback = quietPairs.isEmpty
+    val scored = if (quietFallback) pairs else quietPairs
+    val effs = scored.map(_.eff).sorted
+    val effMedian = effs(effs.size / 2)
+    val effBest = effs.last
+    val bestLow = pairs.map(_.low.tput).max
+    val bestHigh = pairs.map(_.high.tput).max
 
     // --- headline queries at local[32] ---
     val spark = session(32)
@@ -137,9 +152,17 @@ object Bench {
     val qs = results.map { case (k, (sec, _)) => s""""$k":${f"$sec%.3f"}""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
-    val cdc = s"""{"events":$nEvents,"throughput_n8":${f"${tp(8)._1}%.0f"}""" +
-      s""","throughput_n32":${f"${tp(32)._1}%.0f"},"scaling_efficiency":${f"$eff%.3f"}""" +
-      s""","steal_n8":${f"${tp(8)._2}%.3f"},"steal_n32":${f"${tp(32)._2}%.3f"}}"""
+    val pairsJson = pairs.map { p =>
+      s"""{"eff":${f"${p.eff}%.3f"},"tput_n":${f"${p.low.tput}%.0f"}""" +
+        s""","tput_4n":${f"${p.high.tput}%.0f"},"steal_n":${f"${p.low.steal}%.3f"}""" +
+        s""","steal_4n":${f"${p.high.steal}%.3f"},"sys_n":${f"${p.low.sys}%.3f"}""" +
+        s""","sys_4n":${f"${p.high.sys}%.3f"},"quiet":${p.quiet}}"""
+    }.mkString("[", ",", "]")
+    val cdc = s"""{"events":$nEvents,"n_cores":$nLow,"n4_cores":$nHigh""" +
+      s""","throughput_n":${f"$bestLow%.0f"},"throughput_4n":${f"$bestHigh%.0f"}""" +
+      s""","scaling_efficiency":${f"$effMedian%.3f"}""" +
+      s""","scaling_efficiency_best_pair":${f"$effBest%.3f"}""" +
+      s""","quiet_fallback":$quietFallback,"pairs":$pairsJson}"""
     println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
       s""""queries":$qs,"sf":"$sfDir","cdc":$cdc}""")
   }

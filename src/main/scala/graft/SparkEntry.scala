@@ -73,7 +73,7 @@ object SparkEntry {
     // §2.9 — watermark late-drop with counting (7-day delay vs max ts).
     "q_cdc_late" -> ((s, dir) => {
       val wal = TranscriptWal.fromEvents(s, dir)
-      val hw = wal.agg(max(unix_millis(col("commit_ts")))).collect()(0).getLong(0)
+      val hw = wal.agg(max(unix_micros(col("commit_ts")))).collect()(0).getLong(0)
       CdcOps.dropLate(wal, hw, expr("INTERVAL '7' DAY"))
         .groupBy("conv_id").agg(count(lit(1)).as("n_kept"))
         .orderBy("conv_id")
@@ -94,13 +94,26 @@ object SparkEntry {
         .orderBy("text")
     }),
 
-    // F11 — sanitization rule chain over synthetic PII-bearing text.
+    // F11 — full 11-rule sanitization chain; the fixture plants one instance
+    // of every default PII class (email, url, mac, ipv6, ipv4, card, imei,
+    // digit-run, national-id, intl phone, generic phone).
     "q_cdc_sanitize" -> ((s, dir) => {
+      val id = col("doc_id")
       val docs = tbl(s, dir, "documents").select(
-        col("doc_id"),
-        concat(lit("mail u"), col("doc_id"), lit("@example.com ip 10.0."),
-          (col("doc_id") % 256).cast("string"), lit(".7 see https://ex.com/"),
-          col("doc_id"), lit(" t "), substring(col("text"), 1, 40)).as("text"))
+        id,
+        concat(
+          lit("mail u"), id.cast("string"), lit("@example.com"),
+          lit(" ph +82-10-"), (id % 10000).cast("string"),
+          lit(" id AB"), (lit(1000000) + id % 1000000).cast("string"),
+          lit(" card 4242-4242-4242-"), lpad((id % 10000).cast("string"), 4, "0"),
+          lit(" imei 3512345"), lpad((id % 100000000).cast("string"), 8, "0"),
+          lit(" acct 9"), lpad((id % 100000).cast("string"), 11, "0"),
+          lit(" ip 10.0."), (id % 256).cast("string"), lit(".7"),
+          lit(" ip6 fe80:abc1:234:5678:9abc:def0:1234:"), (id % 10).cast("string"),
+          lit(" mac 0a:1b:2c:3d:4e:5f"),
+          lit(" tel 010-123-456-"), lpad((id % 10000).cast("string"), 4, "0"),
+          lit(" see https://ex.com/"), id.cast("string"),
+          lit(" t "), substring(col("text"), 1, 40)).as("text"))
       CdcOps.sanitize(docs).orderBy("doc_id")
     }),
 
@@ -464,19 +477,27 @@ object SparkEntry {
            |  SELECT text, count(DISTINCT conv_id) AS nc FROM wal GROUP BY text)
            |WHERE nc >= 12 ORDER BY text""".stripMargin,
 
-      "q_cdc_sanitize" ->
-        """SELECT doc_id,
-          |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-          |    'mail u' || CAST(doc_id AS VARCHAR) || '@example.com ip 10.0.' ||
-          |      CAST(doc_id % 256 AS VARCHAR) || '.7 see https://ex.com/' ||
-          |      CAST(doc_id AS VARCHAR) || ' t ' || substring(text, 1, 40),
-          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-          |    'https?://[^\s]+', '[URL]', 'g'),
-          |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g'),
-          |    '\b(?:\d[ -]?){13,19}\b', '[CARD]', 'g'),
-          |    '\+?\d{1,3}[ -]?\(?\d{2,4}\)?[ -]?\d{3,4}[ -]?\d{3,4}', '[PHONE]', 'g')
-          |  AS text
-          |FROM documents ORDER BY doc_id""".stripMargin,
+      // Oracle chain generated from the SAME rule list the engine applies —
+      // rule text and order cannot drift between the two sides.
+      "q_cdc_sanitize" -> {
+        val planted =
+          """'mail u' || CAST(doc_id AS VARCHAR) || '@example.com' ||
+            | ' ph +82-10-' || CAST(doc_id % 10000 AS VARCHAR) ||
+            | ' id AB' || CAST(1000000 + doc_id % 1000000 AS VARCHAR) ||
+            | ' card 4242-4242-4242-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+            | ' imei 3512345' || lpad(CAST(doc_id % 100000000 AS VARCHAR), 8, '0') ||
+            | ' acct 9' || lpad(CAST(doc_id % 100000 AS VARCHAR), 11, '0') ||
+            | ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' ||
+            | ' ip6 fe80:abc1:234:5678:9abc:def0:1234:' || CAST(doc_id % 10 AS VARCHAR) ||
+            | ' mac 0a:1b:2c:3d:4e:5f' ||
+            | ' tel 010-123-456-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+            | ' see https://ex.com/' || CAST(doc_id AS VARCHAR) ||
+            | ' t ' || substring(text, 1, 40)""".stripMargin
+        val chain = graft.ops.CdcOps.defaultSanitizeRules.foldLeft(s"($planted)") {
+          (acc, r) => s"regexp_replace($acc, '${r.pattern}', '${r.replacement}', 'g')"
+        }
+        s"SELECT doc_id, $chain AS text FROM documents ORDER BY doc_id"
+      },
 
       "q_cdc_order" ->
         s"""$walCte, latest AS (

@@ -74,18 +74,23 @@ final class LakeTable(val spark: SparkSession, val path: String,
       schema: StructType,
       buckets: Map[Int, BucketState],
       committedEpochs: Map[String, Long],
-      highWaterMillis: Long,
+      highWaterMicros: Long,
       metrics: Map[String, Long]
   )
 
   private def snapPath(v: Long): Path = snapDir.resolve(f"v$v%010d.json")
 
+  private def listDir(dir: Path): Seq[String] =
+    // Files.list holds a directory fd until closed — a long-running ingest
+    // calls this every epoch, so leak-free listing is load-bearing.
+    scala.util.Using.resource(Files.list(dir)) { s =>
+      s.iterator().asScala.map(_.getFileName.toString).toVector
+    }
+
   def latestVersion: Option[Long] = {
-    val vs = Files.list(snapDir).iterator().asScala
-      .map(_.getFileName.toString)
+    val vs = listDir(snapDir)
       .filter(n => n.startsWith("v") && n.endsWith(".json"))
       .map(n => n.substring(1, n.length - 5).toLong)
-      .toSeq
     if (vs.isEmpty) None else Some(vs.max)
   }
 
@@ -104,7 +109,7 @@ final class LakeTable(val spark: SparkSession, val path: String,
     val metrics = root.get("metrics").fields().asScala
       .map(e => e.getKey -> e.getValue.asLong).toMap
     Snapshot(root.get("version").asLong, schema, buckets, epochs,
-      root.get("highWaterMillis").asLong, metrics)
+      root.get("highWaterMicros").asLong, metrics)
   }
 
   private def writeSnapshot(s: Snapshot): Unit = {
@@ -119,7 +124,7 @@ final class LakeTable(val spark: SparkSession, val path: String,
     }
     val en = node.putObject("committedEpochs")
     s.committedEpochs.foreach { case (k, v) => en.put(k, v) }
-    node.put("highWaterMillis", s.highWaterMillis)
+    node.put("highWaterMicros", s.highWaterMicros)
     val mn = node.putObject("metrics")
     s.metrics.foreach { case (k, v) => mn.put(k, v) }
     val tmp = snapDir.resolve(s".v${s.version}.tmp")
@@ -169,22 +174,27 @@ final class LakeTable(val spark: SparkSession, val path: String,
   /** Current live state (payload columns only). */
   def read(): DataFrame = readWithLsn().drop("_lsn")
 
+  /** Merge-on-read, PER BUCKET: only buckets that actually carry deltas pay
+    * the arbitration window; delta-free buckets stream through the compacted
+    * fast path (bases hold one row per key already) and the two branches
+    * union. One hot bucket with one delta therefore costs that bucket's
+    * shuffle+sort — never a full-table re-arbitration.
+    */
   def readWithLsn(): DataFrame = currentSnapshot match {
     case None => spark.emptyDataFrame
     case Some(s) =>
       val schema = fileSchema(s.schema)
-      val hasDeltas = s.buckets.values.exists(_.deltas.nonEmpty)
-      if (!hasDeltas) {
-        // fully-compacted fast path: no arbitration needed, bases hold one
-        // row per key already
-        scanFiles(s.buckets.values.flatMap(_.base).toSeq, schema)
-          .where(col("op") =!= "D").drop("op")
-      } else {
-        val rows = scanFiles(s.buckets.values.flatMap(_.allFiles).toSeq, schema)
-          .withColumn("__pri", lit(0))
-        arbitrate(rows, s.schema)
-          .where(col("op") =!= "D").drop("op")
-      }
+      val (dirty, clean) = s.buckets.values.toSeq.partition(_.deltas.nonEmpty)
+      val outCols = (Seq("conv_id", "turn_idx", "op", "_lsn") ++
+        s.schema.fieldNames.filterNot(keyCols.contains)).map(col).toIndexedSeq
+      val cleanPart = scanFiles(clean.flatMap(_.base), schema).select(outCols: _*)
+      val dirtyPart =
+        if (dirty.isEmpty) None
+        else Some(arbitrate(
+          scanFiles(dirty.flatMap(_.allFiles), schema).withColumn("__pri", lit(0)),
+          s.schema))
+      dirtyPart.fold(cleanPart)(cleanPart.unionByName(_))
+        .where(col("op") =!= "D").drop("op")
   }
 
   // ---- merge (the sink) ----------------------------------------------------
@@ -192,7 +202,7 @@ final class LakeTable(val spark: SparkSession, val path: String,
   final case class MergeResult(
       applied: Boolean, version: Long, events: Long, upserts: Long,
       deletes: Long, touchedBuckets: Int, compactedBuckets: Int,
-      highWaterMillis: Long)
+      highWaterMicros: Long)
 
   /** Idempotent MERGE of a change batch, keyed (conv_id, turn_idx).
     *
@@ -207,7 +217,7 @@ final class LakeTable(val spark: SparkSession, val path: String,
       prev.exists(_.committedEpochs.get(epochNs).exists(_ >= epochId))
     if (alreadyCommitted) {
       val s = prev.get
-      MergeResult(applied = false, s.version, 0, 0, 0, 0, 0, s.highWaterMillis)
+      MergeResult(applied = false, s.version, 0, 0, 0, 0, 0, s.highWaterMicros)
     } else mergeUncommitted(batch, epochNs, epochId, prev)
   }
 
@@ -244,7 +254,7 @@ final class LakeTable(val spark: SparkSession, val path: String,
       }
       withMissing
         .withColumn("_lsn", col("lsn"))
-        .withColumn("__hw", unix_millis(col("commit_ts").cast("timestamp")))
+        .withColumn("__hw", unix_micros(col("commit_ts").cast("timestamp")))
         .select((Seq("op") ++ unified.fieldNames ++ Seq("_lsn", "__hw")).map(col).toIndexedSeq: _*)
         .withColumn("b", bucketExpr)
     }
@@ -259,8 +269,10 @@ final class LakeTable(val spark: SparkSession, val path: String,
         count(lit(1)).as("n"),
         count(when(col("op") === "D", 1)).as("d"),
         max(col("__hw")).as("hw"))
-      .repartition(spark.sparkContext.defaultParallelism * 2,
-        col("b"), pmod(xxhash64(col("_lsn")), lit(writeSalt)))
+      // Partition count comes from spark.sql.shuffle.partitions (sized to the
+      // DATA, not the executor count — adding executors must not change the
+      // plan, only the concurrency; AQE coalesces if the batch is small).
+      .repartition(col("b"), pmod(xxhash64(col("_lsn")), lit(writeSalt)))
       .drop("__hw")
     phased("delta-write")(
       out.write.mode("overwrite").partitionBy("b").parquet(s"$path/$rel"))
@@ -280,8 +292,15 @@ final class LakeTable(val spark: SparkSession, val path: String,
 
     {
 
-      // Inline compaction of buckets whose delta count exceeds the bound.
-      val needCompact = withDeltas.filter(_._2.deltas.size > maxDeltasPerBucket).keys.toSeq
+      // Inline compaction of buckets whose delta EPOCH count exceeds the
+      // bound. Salted writes land up to `writeSalt` files per bucket per
+      // epoch; counting files would cross the bound after ~2 epochs and
+      // degrade the O(batch) amortization into near-every-epoch full-bucket
+      // rewrites. Read amplification is governed by merge depth (= epochs),
+      // so that is what the bound counts.
+      val needCompact = withDeltas
+        .filter { case (_, st) => deltaEpochCount(st) > maxDeltasPerBucket }
+        .keys.toSeq
       val finalBuckets =
         if (needCompact.isEmpty) withDeltas
         else phased("compact")(compactBuckets(withDeltas, needCompact, unified, version))
@@ -291,7 +310,7 @@ final class LakeTable(val spark: SparkSession, val path: String,
         schema = unified,
         buckets = finalBuckets,
         committedEpochs = prev.map(_.committedEpochs).getOrElse(Map.empty) + (epochNs -> epochId),
-        highWaterMillis = math.max(prev.map(_.highWaterMillis).getOrElse(0L), batchHigh),
+        highWaterMicros = math.max(prev.map(_.highWaterMicros).getOrElse(0L), batchHigh),
         metrics = Map(
           "last_events" -> events, "last_upserts" -> (events - deletes),
           "last_deletes" -> deletes,
@@ -299,19 +318,21 @@ final class LakeTable(val spark: SparkSession, val path: String,
       )
       writeSnapshot(snapshot)
       MergeResult(applied = true, version, events, events - deletes, deletes,
-        touched.size, needCompact.size, snapshot.highWaterMillis)
+        touched.size, needCompact.size, snapshot.highWaterMicros)
     }
   }
+
+  /** Distinct delta epochs in a bucket (file path = data/e<version>/b=<b>/…). */
+  private def deltaEpochCount(st: BucketState): Int =
+    st.deltas.map(_.split('/')(1)).distinct.size
 
   private def listBucketFiles(rel: String, buckets: Seq[Int]): Map[Int, Seq[String]] =
     buckets.map { b =>
       val dir = Paths.get(path, rel, s"b=$b")
       val files =
         if (Files.exists(dir))
-          Files.list(dir).iterator().asScala
-            .map(_.getFileName.toString)
-            .filter(_.endsWith(".parquet"))
-            .map(n => s"$rel/b=$b/$n").toSeq.sorted
+          listDir(dir).filter(_.endsWith(".parquet"))
+            .map(n => s"$rel/b=$b/$n").sorted
         else Nil
       b -> files
     }.toMap
@@ -343,11 +364,11 @@ final class LakeTable(val spark: SparkSession, val path: String,
   def readConv(convId: String): DataFrame = currentSnapshot match {
     case None => spark.emptyDataFrame
     case Some(s) =>
-      // Compute the bucket with the SAME expression the writer uses, on a
-      // one-row frame — guarantees writer/reader hash agreement.
-      val bucket = spark.range(1)
-        .select(pmod(xxhash64(lit(convId)), lit(numBuckets)).cast("int"))
-        .collect()(0).getInt(0)
+      // Same hash family the writer's `xxhash64` Column uses (XXH64, seed 42,
+      // UTF-8 bytes), evaluated driver-side — a point lookup must not launch
+      // a Spark job to hash one literal. Parity with the writer expression is
+      // pinned by a test (LakeTableSpec "readConv bucket hash").
+      val bucket = LakeTable.bucketOf(convId, numBuckets)
       val st = s.buckets.getOrElse(bucket, BucketState(Nil, Nil))
       val schema = fileSchema(s.schema)
       val rows = scanFiles(st.allFiles, schema).where(col("conv_id") === convId)
@@ -367,5 +388,59 @@ final class LakeTable(val spark: SparkSession, val path: String,
         writeSnapshot(s.copy(version = version, buckets = finalBuckets))
       }
     }
+  }
+
+  /** Retention GC: delete snapshots older than the last `keepSnapshots` and
+    * every data file none of the kept snapshots references — compaction
+    * leftovers AND orphans from crashed writes (files that never made it into
+    * any snapshot). Single-writer semantics: time-travel back past the kept
+    * window is traded for bounded storage; at 10^10 events superseded bases
+    * dominate table bytes without this.
+    *
+    * @return (snapshotsDeleted, dataFilesDeleted)
+    */
+  def vacuum(keepSnapshots: Int = 1): (Int, Int) = latestVersion match {
+    case None => (0, 0)
+    case Some(latest) =>
+      val keepVersions = listDir(snapDir)
+        .filter(n => n.startsWith("v") && n.endsWith(".json"))
+        .map(n => n.substring(1, n.length - 5).toLong)
+        .sorted.takeRight(math.max(1, keepSnapshots)).toSet
+      val referenced: Set[String] = keepVersions.flatMap { v =>
+        readSnapshot(v).buckets.values.flatMap(_.allFiles)
+      }
+      val dataRoot = Paths.get(path, "data")
+      var dataDeleted = 0
+      scala.util.Using.resource(Files.walk(dataRoot)) { walk =>
+        walk.iterator().asScala.filter(p => Files.isRegularFile(p)).foreach { p =>
+          val rel = Paths.get(path).relativize(p).toString.replace('\\', '/')
+          if (!referenced.contains(rel)) { Files.delete(p); dataDeleted += 1 }
+        }
+      }
+      // prune now-empty epoch/bucket dirs (deepest-first)
+      scala.util.Using.resource(Files.walk(dataRoot)) { walk =>
+        walk.iterator().asScala.toVector.sortBy(-_.getNameCount).foreach { p =>
+          if (p != dataRoot && Files.isDirectory(p) && listDir(p).isEmpty)
+            Files.delete(p)
+        }
+      }
+      val snapsToDelete = listDir(snapDir)
+        .filter(n => n.startsWith("v") && n.endsWith(".json"))
+        .filterNot(n => keepVersions.contains(n.substring(1, n.length - 5).toLong))
+      snapsToDelete.foreach(n => Files.delete(snapDir.resolve(n)))
+      (snapsToDelete.size, dataDeleted)
+  }
+}
+
+object LakeTable {
+  /** Driver-side twin of the writer's bucket expression
+    * `pmod(xxhash64(conv_id), numBuckets)`: Spark's `xxhash64` is XXH64 over
+    * UTF-8 bytes with seed 42. Must stay in lockstep with [[LakeTable!.readConv]].
+    */
+  def bucketOf(convId: String, numBuckets: Int): Int = {
+    val utf8 = org.apache.spark.unsafe.types.UTF8String.fromString(convId)
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      utf8, org.apache.spark.sql.types.StringType, 42L)
+    (((h % numBuckets) + numBuckets) % numBuckets).toInt
   }
 }

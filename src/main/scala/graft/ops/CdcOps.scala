@@ -45,11 +45,25 @@ object CdcOps {
     * policy on invalid pages (DocumentProcessor.java:239-250) rather than a
     * silent filter. `highWater` is supplied by the caller (streaming state).
     */
-  def dropLate(events: DataFrame, highWaterMillis: Long, delay: Column): DataFrame = {
-    val cutoff = timestamp_millis(lit(highWaterMillis)) - delay
-    events
-      .observe("late", count(when(col("commit_ts") < cutoff, 1)).as("late_drops"))
-      .where(col("commit_ts") >= cutoff)
+  def dropLate(events: DataFrame, highWaterMicros: Long, delay: Column,
+               obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    // MICROsecond precision end-to-end: timestamps are micros in parquet, so
+    // a millisecond-truncated mark would sit up to 1ms below the true max —
+    // any row landing in that gap is kept here but dropped by an oracle
+    // computing `max(commit_ts) - delay` at full precision. One unit, no
+    // mixing (same rule as q_window_lag).
+    val cutoff = timestamp_micros(lit(highWaterMicros)) - delay
+    val counted = obs match {
+      // An Observation surfaces the count through foreachBatch (a named
+      // observe() on a batch frame only reaches QueryExecutionListener, NOT
+      // the streaming progress bus — so callers that need the number must
+      // pass an Observation and read it after the batch action completes).
+      case Some(o) =>
+        events.observe(o, count(when(col("commit_ts") < cutoff, 1)).as("late_drops"))
+      case None =>
+        events.observe("late", count(when(col("commit_ts") < cutoff, 1)).as("late_drops"))
+    }
+    counted.where(col("commit_ts") >= cutoff)
   }
 
   /** F11 — sensitive-data sanitization: a config-driven, deterministic-order
@@ -61,11 +75,33 @@ object CdcOps {
     */
   final case class SanitizeRule(name: String, pattern: String, replacement: String)
 
+  /** Full default rule set — one rule per reference default class
+    * (api/FilterConfig.java:39-78: email, dashed-intl phone, national ID,
+    * formatted card, bare digit run, IPv4, IPv6, MAC, IMEI, URL), re-expressed
+    * with `[CLASS]` replacement tokens. Rules apply SEQUENTIALLY in list
+    * order — the order is part of the contract (a span matched by an earlier
+    * rule is tokenized before later rules see it, which resolves overlaps
+    * deterministically, the engine's analog of the reference's span-merge):
+    * structured identifiers first (email/url/ipv6/mac/ipv4), then digit
+    * classes narrow-to-wide (card, IMEI, digit-run), then letter-prefixed IDs
+    * and phones. Every pattern is RE2-compatible (no backrefs/lookaround) so
+    * an external SQL engine applying the same chain gets identical output.
+    * Callers pass their own Seq to extend/replace (user-supplied rules).
+    */
   val defaultSanitizeRules: Seq[SanitizeRule] = Seq(
     SanitizeRule("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
     SanitizeRule("url", "https?://[^\\s]+", "[URL]"),
+    // MAC before IPv6: a MAC's six hex:groups are also a valid IPv6 match.
+    SanitizeRule("mac", "\\b(?:[0-9A-Fa-f]{2}:){5}[0-9A-Fa-f]{2}\\b", "[MAC]"),
+    SanitizeRule("ipv6", "\\b(?:[0-9a-fA-F]{1,4}:){2,7}[0-9a-fA-F]{1,4}\\b", "[IPV6]"),
     SanitizeRule("ipv4", "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "[IP]"),
-    SanitizeRule("card", "\\b(?:\\d[ -]?){13,19}\\b", "[CARD]"),
+    // 16 digits in 4 blocks with optional separators (reference shape) — NOT
+    // a loose 13-19 digit-run, which would swallow 15-digit IMEIs.
+    SanitizeRule("card", "\\b\\d{4}[ -]?\\d{4}[ -]?\\d{4}[ -]?\\d{4}\\b", "[CARD]"),
+    SanitizeRule("imei", "\\b\\d{15}\\b", "[IMEI]"),
+    SanitizeRule("digitrun", "\\b\\d{10,18}\\b", "[NUM]"),
+    SanitizeRule("natid", "\\b[A-Z]{1,2}\\d{6,9}\\b", "[ID]"),
+    SanitizeRule("intlphone", "\\+\\d+(?:-\\d+)+", "[PHONE]"),
     SanitizeRule("phone", "\\+?\\d{1,3}[ -]?\\(?\\d{2,4}\\)?[ -]?\\d{3,4}[ -]?\\d{3,4}", "[PHONE]")
   )
 
@@ -86,12 +122,17 @@ object CdcOps {
     */
   def flagBoilerplate(df: DataFrame, minConvs: Int = 3): DataFrame = {
     val fp = xxhash64(col("text"))
+    // EXACT distinct-conv count: the contract is a hard threshold, and HLL's
+    // ~5% default error flips rows sitting at the boundary. The expand is one
+    // extra partial-agg pass over (fp, conv_id) pairs — cheap next to a wrong
+    // answer. No broadcast hint: the boilerplate set is corpus-dependent
+    // (adversarial corpora make it huge); AQE picks broadcast when it fits.
     val boiler = df
       .groupBy(fp.as("__fp"))
-      .agg(approx_count_distinct(col("conv_id")).as("__nc"))
+      .agg(countDistinct(col("conv_id")).as("__nc"))
       .where(col("__nc") >= minConvs)
       .select("__fp")
-    df.join(broadcast(boiler), fp === boiler("__fp"), "left")
+    df.join(boiler, fp === boiler("__fp"), "left")
       .withColumn("is_boilerplate", col("__fp").isNotNull)
       .drop("__fp")
   }

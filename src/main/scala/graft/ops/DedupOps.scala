@@ -35,43 +35,118 @@ object DedupOps {
     * naive `array((0 until k).map(i => array_min(...)))` form recomputes the
     * shingling k times (measured 30×+ slowdown).
     */
-  def withMinHash(df: DataFrame, k: Int = 32, shingleWidth: Int = 3,
-                  textCol: String = "text"): DataFrame = {
-    val sh = TextOps.shingles(col(textCol), shingleWidth)
-    val sig = aggregate(sh,
-      array_repeat(lit(Long.MaxValue), k),
-      (acc, s) => zip_with(acc, sequence(lit(0), lit(k - 1)),
-        (m, i) => least(m, xxhash64(s, i))))
-    df.withColumn("minhash", sig)
+  def minHashSignatures(df: DataFrame, idCol: String = "doc_id", k: Int = 32,
+                        shingleWidth: Int = 3, textCol: String = "text"): DataFrame = {
+    // explode → hash-aggregate with k small `min` expressions. The earlier
+    // single-pass `aggregate(shingles, zip_with(...))` fold computed the same
+    // values but generated one enormous Janino method — ~15 s of compile time
+    // before the first row moved. k scalar mins keep every codegen unit tiny
+    // AND give map-side partial aggregation: the shuffle carries one
+    // (id, k longs) row per doc per partition, never the shingles.
+    // Repartition by id BEFORE the heavy projection: the per-doc cost here
+    // (shingling + k hashes per shingle) dwarfs one shuffle of the text, and
+    // without it the compute inherits the scan's split count — a small input
+    // file would confine 32 cores' worth of hashing to 2 tasks. The count is
+    // explicit because AQE coalesces column-only repartitions of small
+    // inputs right back to one task.
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val ex = df.select(col(idCol), col(textCol)).repartition(par, col(idCol))
+      .select(col(idCol),
+        explode(TextOps.shingles(col(textCol), shingleWidth)).as("__s"))
+    val mins = (0 until k).map(i => min(xxhash64(col("__s"), lit(i))).as(s"__m$i"))
+    ex.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until k).map(i => col(s"__m$i")): _*).as("minhash"))
   }
+
+  /** Full frame + minhash (one extra join — prefer [[minHashSignatures]]). */
+  def withMinHash(df: DataFrame, k: Int = 32, shingleWidth: Int = 3,
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    df.join(minHashSignatures(df, idCol, k, shingleWidth, textCol), Seq(idCol))
 
   /** LSH candidate pairs: b bands of r rows (k = b*r); docs sharing any
     * band-hash are candidates. Returns (a_id, b_id) with a_id < b_id,
     * deduplicated across bands.
+    *
+    * Scale armor (dup-dense corpora make naive banding go ~n²):
+    *  1. **Identical-signature pre-grouping** — docs with byte-equal
+    *     signatures collapse to one representative through the band join;
+    *     member pairs are re-expanded afterwards (candidacy is exactly
+    *     preserved: a member shares every band with its representative).
+    *  2. **Band-bucket cap** — a bucket holding > `maxBandBucket` reps is
+    *     dropped from THAT band (standard production LSH: hot buckets are
+    *     uninformative; a truly-similar pair still meets in another band).
+    *  3. **Signature-agreement prefilter** — the band join already carries
+    *     both 32-long signatures, so pairs whose component agreement
+    *     (an unbiased Jaccard estimate) falls below `prefilterAgree` are cut
+    *     BEFORE the expensive shingle-array verify join. Deterministic
+    *     (hashes, not RNG).
     */
   def lshCandidates(df: DataFrame, bands: Int = 8, idCol: String = "doc_id",
-                    k: Int = 32, shingleWidth: Int = 3): DataFrame = {
+                    k: Int = 32, shingleWidth: Int = 3,
+                    maxBandBucket: Int = 1000,
+                    prefilterAgree: Double = 0.0): DataFrame = {
     val r = k / bands
-    val sigs = withMinHash(df, k, shingleWidth).select(col(idCol), col("minhash"))
-    val banded = sigs.select(col(idCol),
+    val sigs = minHashSignatures(df, idCol, k, shingleWidth)
+    // Persisted: one row per DISTINCT signature (32 longs + member ids) —
+    // consumed by intra-pairs, banding and both expansion joins. Without it
+    // each consumer re-runs the shingle+minhash aggregation over the corpus
+    // (measured 3-4× the whole pipeline's cost); with it the corpus is
+    // scanned once. MEMORY_AND_DISK: spills instead of recomputing at scale.
+    val grp = sigs.groupBy(col("minhash"))
+      .agg(min(col(idCol)).as("rep"), collect_list(col(idCol)).as("ids"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = grp.select(col("rep"), col("minhash"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"), xxhash64(
           concat_ws(",", slice(col("minhash"), b * r + 1, r))).as("bh"))
       }: _*)).as("bb"))
-      .select(col(idCol), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    val l = banded.withColumnRenamed(idCol, "a_id")
-    val rgt = banded.withColumnRenamed(idCol, "b_id")
-    l.join(rgt, Seq("band", "bh"))
-      .where(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
+      .select(col("rep"), col("minhash"),
+        col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val kept = banded.withColumn("__bn",
+        count(lit(1)).over(Window.partitionBy("band", "bh")))
+      .where(col("__bn") <= maxBandBucket).drop("__bn")
+    val l = kept.select(col("rep").as("ra"), col("minhash").as("sa"),
+      col("band"), col("bh"))
+    val rt = kept.select(col("rep").as("rb"), col("minhash").as("sb"),
+      col("band"), col("bh"))
+    val minAgree = math.ceil(prefilterAgree * k).toInt
+    // ra <= rb keeps each group's SELF-pair, which expands below into the
+    // intra-group member pairs (identical signatures agree on every band) —
+    // no separate intra branch, one less plan arm to compile and union.
+    val repPairs = l.join(rt, Seq("band", "bh"))
+      .where(col("ra") <= col("rb"))
+      .where(size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
+        b => b)) >= minAgree)
+      .select("ra", "rb").distinct()
+    // expand representative pairs back to member pairs
+    repPairs
+      .join(grp.select(col("rep").as("ra"), col("ids").as("ia")), "ra")
+      .join(grp.select(col("rep").as("rb"), col("ids").as("ib")), "rb")
+      .select(explode(col("ia")).as("a_id"), col("ib"))
+      .select(col("a_id"), explode(col("ib")).as("b_id"))
+      .where(col("a_id") =!= col("b_id"))
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"))
+      .distinct()
   }
 
-  /** Exact n-gram Jaccard for given pairs (verification stage after LSH). */
+  /** Exact n-gram Jaccard for given pairs (verification stage after LSH).
+    * Shingles are computed only for docs that appear in a candidate pair
+    * (semi-join prune — at scale candidates ≪ corpus) and persisted so the
+    * a-side and b-side joins share one computation.
+    */
   def jaccardVerify(df: DataFrame, pairs: DataFrame, threshold: Double,
                     idCol: String = "doc_id", textCol: String = "text",
                     shingleWidth: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol), TextOps.shingles(col(textCol), shingleWidth).as("sh"))
-    val withA = pairs.join(sh.withColumnRenamed(idCol, "a_id")
+    // pairs may itself be an expensive plan (LSH) and is consumed three
+    // times below — persist it too.
+    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val needed = p.select(col("a_id").as(idCol))
+      .unionAll(p.select(col("b_id").as(idCol))).distinct()
+    val sh = df.join(needed, Seq(idCol), "left_semi")
+      .select(col(idCol), TextOps.shingles(col(textCol), shingleWidth).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withA = p.join(sh.withColumnRenamed(idCol, "a_id")
       .withColumnRenamed("sh", "sh_a"), "a_id")
     val withB = withA.join(sh.withColumnRenamed(idCol, "b_id")
       .withColumnRenamed("sh", "sh_b"), "b_id")
@@ -85,23 +160,39 @@ object DedupOps {
       .select("a_id", "b_id", "jaccard")
   }
 
-  /** Full near-dup pipeline: LSH candidates → exact Jaccard verify. */
+  /** Full near-dup pipeline: LSH candidates → exact Jaccard verify. The
+    * signature-agreement prefilter defaults to half the verify threshold —
+    * loose enough that a pair at the threshold survives with overwhelming
+    * margin (agreement of a J≥t pair concentrates at t·k components), tight
+    * enough to cut the ~n² sub-threshold candidates a dup-dense corpus
+    * pushes through banding before any shingle array is shuffled.
+    */
   def nearDuplicates(df: DataFrame, threshold: Double = 0.7,
-                     idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    jaccardVerify(df, lshCandidates(df, idCol = idCol), threshold, idCol, textCol)
+                     idCol: String = "doc_id", textCol: String = "text",
+                     maxBandBucket: Int = 1000): DataFrame =
+    jaccardVerify(df,
+      lshCandidates(df, idCol = idCol, maxBandBucket = maxBandBucket,
+        prefilterAgree = threshold / 2),
+      threshold, idCol, textCol)
 
   /** SimHash-64: per token-hash bit votes weighted +1/-1; signature bit b is
     * the sign of the vote sum. Implemented as one explode + bit-bucket agg —
     * shuffles (doc_id, 64 longs) per doc, not the text.
     */
-  def withSimHash(df: DataFrame, idCol: String = "doc_id",
-                  textCol: String = "text"): DataFrame = {
+  /** Signature-only SimHash path: (id, simhash) — what the dedup pipelines
+    * consume. No join back onto the document frame; callers that need the
+    * full row use [[withSimHash]] and pay for it explicitly.
+    */
+  def simHashSignatures(df: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
     // explode → ONE hash-aggregate with 64 conditional sums (map-side
     // partials shuffle 64 longs per doc, never the text). The per-row
     // higher-order-function formulation re-evaluates the token array per bit
     // (Catalyst inlines it 64×) — measured order-of-magnitude slower.
-    val tok = df.select(col(idCol),
-      explode_outer(array_distinct(TextOps.tokens(lower(col(textCol))))).as("__t"))
+    val tok = df.select(col(idCol), col(textCol))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol),
+        explode_outer(array_distinct(TextOps.tokens(lower(col(textCol))))).as("__t"))
       .select(col(idCol), xxhash64(col("__t")).as("__h"), col("__t").isNotNull.as("__v"))
     val voteAggs = (0 until 64).map { b =>
       // literal shift amounts keep codegen; & 1 because shiftright is arithmetic
@@ -112,10 +203,14 @@ object DedupOps {
     val sig = (0 until 64).map { b =>
       when(col(s"__b$b") > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
-    val sigs = tok.groupBy(col(idCol)).agg(voteAggs.head, voteAggs.tail: _*)
+    tok.groupBy(col(idCol)).agg(voteAggs.head, voteAggs.tail: _*)
       .select(col(idCol), sig.as("simhash"))
-    df.join(sigs, Seq(idCol))
   }
+
+  /** Full frame + signature (one extra join — prefer [[simHashSignatures]]). */
+  def withSimHash(df: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    df.join(simHashSignatures(df, idCol, textCol), Seq(idCol))
 
   /** Banded SimHash near-dup pairs with Hamming distance <= maxHamming.
     * 64 bits band into 8×8; by pigeonhole any pair within Hamming 7 shares
@@ -128,7 +223,9 @@ object DedupOps {
                             idCol: String = "doc_id",
                             textCol: String = "text"): DataFrame = {
     import graft.functions.Hamming64.hamming64
-    val sigs = withSimHash(df, idCol, textCol).select(col(idCol), col("simhash"))
+    // both sides of the band self-join read this — persist or compute twice
+    val sigs = simHashSignatures(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col(idCol), col("simhash"),
       explode(array((0 until 8).map { b =>
         struct(lit(b).as("band"),
@@ -152,7 +249,7 @@ object DedupOps {
     */
   def simHashDuplicates(df: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
-    val sigs = withSimHash(df, idCol, textCol).select(col(idCol), col("simhash"))
+    val sigs = simHashSignatures(df, idCol, textCol)
     sigs.groupBy("simhash").agg(collect_list(col(idCol)).as("ids"),
         count(lit(1)).as("n"))
       .where(col("n") > 1)

@@ -31,14 +31,27 @@ object Route {
         .otherwise(lit("fast")))
   }
 
+  /** Every route the cascade can emit — Route.apply requires a branch (or the
+    * default passthrough) for each, so no routed event can silently vanish.
+    */
+  val allRoutes: Set[String] = Set("quarantine", "review", "fast")
+
   /** Route + per-branch transform + union: each branch is a lazy plan over
-    * the shared routed frame; Catalyst collapses the scan.
+    * the shared routed frame; Catalyst collapses the scan. Routes without an
+    * entry in `branches` pass through unchanged (identity branch) — a
+    * quarantine-routed conversation must never disappear because the caller
+    * forgot the branch. No broadcast hint on the routed side: it is one row
+    * per conv_id (unbounded at 10^8 conversations); AQE broadcasts iff small.
     */
   def apply(events: DataFrame,
             branches: Map[String, DataFrame => DataFrame]): DataFrame = {
+    require(branches.keySet.subsetOf(allRoutes),
+      s"unknown routes: ${branches.keySet -- allRoutes}")
+    val exhaustive = allRoutes.map(r =>
+      r -> branches.getOrElse(r, identity[DataFrame] _)).toMap
     val routed = triage(events)
-    val withRoute = events.join(broadcast(routed.select("conv_id", "route")), "conv_id")
-    branches.map { case (route, f) =>
+    val withRoute = events.join(routed.select("conv_id", "route"), "conv_id")
+    exhaustive.map { case (route, f) =>
       f(withRoute.where(col("route") === route))
     }.reduce(_ unionByName _)
   }

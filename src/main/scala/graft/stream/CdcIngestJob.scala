@@ -30,12 +30,28 @@ object CdcIngestJob {
     * merge's single arbitration aggregate collapses them for free (identical
     * payloads, same max_by winner), saving a full shuffle per batch.
     */
-  def pipeline(batch: DataFrame, conf: IngestConfig, highWaterMillis: Long): DataFrame = {
+  def pipeline(batch: DataFrame, conf: IngestConfig, highWaterMicros: Long,
+               lateObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     var df = batch
-    if (conf.enforceWatermark && highWaterMillis > 0L)
-      df = CdcOps.dropLate(df, highWaterMillis, expr(s"INTERVAL '${conf.watermarkDelay}'"))
+    if (conf.enforceWatermark && highWaterMicros > 0L)
+      df = CdcOps.dropLate(df, highWaterMicros,
+        expr(s"INTERVAL '${conf.watermarkDelay}'"), lateObs)
     if (conf.sanitize) df = CdcOps.sanitize(df)
     df
+  }
+
+  /** Per-run lineage totals accumulated on the driver (late drops ride an
+    * Observation through foreachBatch — a named observe() on a batch frame
+    * never reaches StreamingQueryProgress, so this is the truthful channel).
+    */
+  final class IngestMetrics {
+    private val late = new java.util.concurrent.atomic.LongAdder
+    private val applied = new java.util.concurrent.atomic.LongAdder
+    private[stream] def add(lateDrops: Long, events: Long): Unit = {
+      late.add(lateDrops); applied.add(events)
+    }
+    def lateDrops: Long = late.sum
+    def eventsApplied: Long = applied.sum
   }
 
   /** Register a lineage-metrics listener on the session's stream bus. */
@@ -47,7 +63,13 @@ object CdcIngestJob {
 
   /** Start the streaming query. Caller owns stop/await. */
   def start(spark: SparkSession, walDir: String, conf: IngestConfig,
-            withTool: Boolean = true): StreamingQuery = {
+            withTool: Boolean = true): StreamingQuery =
+    startWithMetrics(spark, walDir, conf, withTool)._1
+
+  /** Start + a driver-side lineage accumulator (late drops, events applied). */
+  def startWithMetrics(spark: SparkSession, walDir: String, conf: IngestConfig,
+                       withTool: Boolean = true): (StreamingQuery, IngestMetrics) = {
+    val metrics = new IngestMetrics
     val schema = if (withTool) Schemas.changeEvent else Schemas.changeEventV0
     val table = new LakeTable(spark, conf.tablePath, conf.numBuckets)
     val stream = spark.readStream
@@ -68,17 +90,28 @@ object CdcIngestJob {
       .option("checkpointLocation", conf.checkpointPath)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val hw = table.currentSnapshot.map(_.highWaterMillis).getOrElse(0L)
-        val staged = pipeline(batch, conf, hw)
+        val hw = table.currentSnapshot.map(_.highWaterMicros).getOrElse(0L)
+        val lateObs =
+          if (conf.enforceWatermark && hw > 0L)
+            Some(org.apache.spark.sql.Observation(s"late-$batchId"))
+          else None
+        val staged = pipeline(batch, conf, hw, lateObs)
         val res = table.merge(staged, epochNs, batchId)
+        // The merge's write is the batch's action; Observation.get is
+        // complete once it returns (0 if the epoch was a replay no-op).
+        val lateDrops =
+          if (res.applied)
+            lateObs.map(_.get("late_drops").asInstanceOf[Long]).getOrElse(0L)
+          else 0L
+        metrics.add(lateDrops, res.events)
         // Per-batch lineage to the driver log; the snapshot carries the same
         // numbers durably (A9 / north-rule metrics).
         println(s"""{"batch":$batchId,"applied":${res.applied},"events":${res.events},""" +
-          s""""upserts":${res.upserts},"deletes":${res.deletes},""" +
+          s""""upserts":${res.upserts},"deletes":${res.deletes},"lateDrops":$lateDrops,""" +
           s""""touchedBuckets":${res.touchedBuckets},"version":${res.version}}""")
         ()
       }
-      .start()
+      .start() -> metrics
   }
 
   /** Batch replay of a WAL DataFrame straight into the table — same pipeline,
@@ -87,7 +120,7 @@ object CdcIngestJob {
   def replayBatch(spark: SparkSession, wal: DataFrame, conf: IngestConfig,
                   epochId: Long = 0L): LakeTable = {
     val table = new LakeTable(spark, conf.tablePath, conf.numBuckets)
-    val hw = table.currentSnapshot.map(_.highWaterMillis).getOrElse(0L)
+    val hw = table.currentSnapshot.map(_.highWaterMicros).getOrElse(0L)
     table.merge(pipeline(wal, conf, hw), "replay", epochId)
     table
   }

@@ -7,8 +7,10 @@ import org.apache.spark.sql.streaming.StreamingQueryListener._
 
 /** Per-batch lineage metrics via the streaming progress bus (SURVEY §2.4 A9:
   * the reference's `ProcessingResult` timings/counters as a listener).
-  * Collects input rates, batch durations, and every `observe()` metric the
-  * pipeline attaches (e.g. `late.late_drops` from CdcOps.dropLate).
+  * Collects input rates, batch durations, and observed metrics attached to
+  * the STREAMING plan (e.g. the `wal` observation in CdcIngestJob.start).
+  * NOTE: metrics observed inside foreachBatch never reach this bus — late
+  * drops travel through [[CdcIngestJob.IngestMetrics]] instead.
   */
 final class MetricsListener extends StreamingQueryListener {
 
@@ -20,8 +22,6 @@ final class MetricsListener extends StreamingQueryListener {
 
   def batches: Seq[BatchMetrics] = buf.synchronized(buf.toVector)
   def totalInputRows: Long = batches.map(_.numInputRows).sum
-  def lateDrops: Long = batches.flatMap(_.observed.get("late"))
-    .flatMap(_.get("late_drops")).map(_.asInstanceOf[Number].longValue).sum
 
   override def onQueryStarted(e: QueryStartedEvent): Unit = ()
   override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()

@@ -1,0 +1,29 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** The Bench query phase alone (same session shape), for iteration. */
+object BenchQueries {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .appName("benchq")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.files.minPartitionNum", "64")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val results = graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val n = try fn(spark, dir).count() catch { case e: Throwable =>
+        println(s"BQ ERROR $name: ${e.getMessage.take(120)}"); -1L }
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"BQ $name%-22s $sec%7.3f s rows=$n")
+      sec
+    }
+    println(f"BQ TOTAL ${results.sum}%.2f s")
+    spark.stop()
+  }
+}

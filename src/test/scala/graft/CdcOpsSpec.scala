@@ -75,10 +75,10 @@ class CdcOpsSpec extends AnyFunSuite {
 
   test("dropLate drops strictly-older-than-cutoff rows and observes the count") {
     val w = wal(300, 5)
-    val hw = w.agg(max(unix_millis($"commit_ts"))).collect()(0).getLong(0)
+    val hw = w.agg(max(unix_micros($"commit_ts"))).collect()(0).getLong(0)
     val kept = CdcOps.dropLate(w, hw, expr("INTERVAL '5' MINUTE"))
-    val cutoff = hw - 5 * 60 * 1000
-    val expected = w.where(unix_millis($"commit_ts") >= cutoff).count()
+    val cutoff = hw - 5 * 60 * 1000000L
+    val expected = w.where(unix_micros($"commit_ts") >= cutoff).count()
     assert(kept.count() == expected)
     assert(kept.count() < w.count()) // synthetic spans > 5 minutes
   }

@@ -129,6 +129,106 @@ class LakeTableSpec extends AnyFunSuite {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }
 
+  test("per-bucket MOR: a single dirty bucket plans one window scoped to it") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Union, Window => LWindow}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val t = freshTable(buckets = 8)
+    t.merge(TranscriptWal.synthetic(spark, 800, 20), "t", 1)
+    t.compactAll() // all buckets clean
+    val one = TranscriptWal.synthetic(spark, 800, 20)
+      .where($"conv_id" === "c3").withColumn("lsn", $"lsn" + 1000000L)
+    val r = t.merge(one, "t", 2)
+    assert(r.touchedBuckets == 1)
+    val snap = t.currentSnapshot.get
+    val dirtyFiles = snap.buckets.values.filter(_.deltas.nonEmpty)
+      .flatMap(_.allFiles).toSet
+    assert(dirtyFiles.nonEmpty)
+    val lp = t.read().queryExecution.optimizedPlan
+    val windows = lp.collect { case w: LWindow => w }
+    assert(windows.size == 1, "exactly one arbitration window")
+    assert(lp.collect { case u: Union => u }.nonEmpty, "clean ∪ dirty union")
+    // the window subtree scans ONLY the dirty bucket's files
+    val windowFiles = windows.head.collect {
+      case LogicalRelation(rel: HadoopFsRelation, _, _, _, _) => rel.location.inputFiles.toSeq
+    }.flatten.map(f => f.substring(f.indexOf("data/"))).toSet
+    assert(windowFiles == dirtyFiles)
+    // and correctness is unchanged
+    val expect = TranscriptWal.expectedState(
+      TranscriptWal.synthetic(spark, 800, 20).unionAll(one))
+      .select("conv_id", "turn_idx", "text")
+    val got = t.read().select("conv_id", "turn_idx", "text")
+    assert(got.exceptAll(expect).count() == 0 && expect.exceptAll(got).count() == 0)
+  }
+
+  test("compaction cadence counts delta EPOCHS, not salted files") {
+    // AQE off so the salted write really lands multiple files per bucket per
+    // epoch (AQE coalesces these tiny test batches to one partition).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val t = freshTable(buckets = 4) // maxDeltasPerBucket = 4
+      t.merge(TranscriptWal.synthetic(spark, 1000, 16), "t", 1)
+      t.compactAll()
+      // 4 touch-all epochs: salted writes land >1 file per bucket per epoch,
+      // but no bucket may compact before its 5th delta EPOCH.
+      val results = (2 to 5).map { e =>
+        t.merge(TranscriptWal.synthetic(spark, 200, 16, lsnOffset = e * 1000000L), "t", e)
+      }
+      assert(results.forall(_.compactedBuckets == 0),
+        s"epoch-counted cadence must not compact within $results")
+      val filesPerBucket = t.currentSnapshot.get.buckets.values.map(_.deltas.size)
+      assert(filesPerBucket.exists(_ > 4), "salting produced more files than epochs")
+      // 5th delta epoch crosses the bound → compaction fires, state stays right
+      val r6 = t.merge(TranscriptWal.synthetic(spark, 200, 16, lsnOffset = 9000000L), "t", 6)
+      assert(r6.compactedBuckets > 0)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("vacuum removes superseded files and orphans; read unchanged") {
+    val t = freshTable(buckets = 4)
+    val wal = TranscriptWal.synthetic(spark, 1000, 10)
+    t.merge(wal, "t", 1)
+    (2 to 8).foreach { e =>
+      t.merge(TranscriptWal.synthetic(spark, 300, 10, lsnOffset = e * 1000000L), "t", e)
+    }
+    t.compactAll() // supersedes every delta
+    val root = java.nio.file.Paths.get(t.path)
+    // plant an orphan from a "crashed write"
+    val orphanDir = root.resolve("data/e9999999999/b=0")
+    Files.createDirectories(orphanDir)
+    Files.writeString(orphanDir.resolve("part-orphan.parquet"), "junk")
+    val before = t.read().orderBy("conv_id", "turn_idx").collect().toSeq
+    def countFiles() = {
+      val s = java.nio.file.Files.walk(root.resolve("data"))
+      try s.filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      finally s.close()
+    }
+    val nBefore = countFiles()
+    val (snapsGone, filesGone) = t.vacuum(keepSnapshots = 1)
+    assert(filesGone > 0 && snapsGone > 0)
+    assert(countFiles() < nBefore)
+    // every surviving file is referenced by the latest snapshot
+    val referenced = t.currentSnapshot.get.buckets.values.flatMap(_.allFiles).toSet
+    val s2 = java.nio.file.Files.walk(root.resolve("data"))
+    val remaining = try {
+      import scala.jdk.CollectionConverters._
+      s2.iterator().asScala.filter(p => java.nio.file.Files.isRegularFile(p))
+        .map(p => root.relativize(p).toString.replace('\\', '/')).toSet
+    } finally s2.close()
+    assert(remaining == referenced)
+    val after = t.read().orderBy("conv_id", "turn_idx").collect().toSeq
+    assert(after == before)
+  }
+
+  test("readConv bucket hash agrees with the writer expression for many ids") {
+    val ids = (0 until 200).map(i => s"c$i") ++ Seq("hot", "", "日本語", "a b c")
+    val viaSpark = ids.toDF("conv_id")
+      .select($"conv_id", pmod(xxhash64($"conv_id"), lit(64)).cast("int").as("b"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    ids.foreach { id =>
+      assert(LakeTable.bucketOf(id, 64) == viaSpark(id), s"mismatch for '$id'")
+    }
+  }
+
   test("lineage metrics accumulate in snapshots") {
     val t = freshTable()
     val wal = TranscriptWal.synthetic(spark, 200, 5, deleteFraction = 0.2)
