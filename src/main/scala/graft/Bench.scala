@@ -119,15 +119,17 @@ object Bench {
     }
 
     val targetPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt
-    val maxAttempts = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_ATTEMPTS", "6").toInt
+    val maxAttempts = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_ATTEMPTS", "7").toInt
     final case class Pair(low: Trial, high: Trial) {
       def eff: Double = (high.tput / low.tput) / (nHigh.toDouble / nLow)
       def quiet: Boolean = low.steal < 0.02 && high.steal < 0.02
     }
     var pairs = Vector.empty[Pair]
     var attempt = 0
-    while (attempt < maxAttempts &&
-      (pairs.size < targetPairs || !pairs.exists(_.quiet))) {
+    // Keep sampling until `targetPairs` QUIET pairs exist (or attempts run
+    // out): an odd-sized quiet set gives a true middle element; a 2-element
+    // "median" would silently report the better pair.
+    while (attempt < maxAttempts && pairs.count(_.quiet) < targetPairs) {
       pairs = pairs :+ Pair(measured(nLow), measured(nHigh))
       attempt += 1
     }
@@ -135,17 +137,23 @@ object Bench {
     val quietFallback = quietPairs.isEmpty
     val scored = if (quietFallback) pairs else quietPairs
     val effs = scored.map(_.eff).sorted
-    val effMedian = effs(effs.size / 2)
+    val effMedian =
+      if (effs.size % 2 == 1) effs(effs.size / 2)
+      else (effs(effs.size / 2 - 1) + effs(effs.size / 2)) / 2.0
     val effBest = effs.last
     val bestLow = pairs.map(_.low.tput).max
     val bestHigh = pairs.map(_.high.tput).max
 
-    // --- headline queries at local[32] ---
+    // --- headline queries at local[32], best-of-2 (hypervisor steal storms
+    // hit single-shot timings 10-100x; min-of-2 keeps the engine signal) ---
     val spark = session(32)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
-      name -> ((System.nanoTime() - t0) / 1e9, n)
+      val runs = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      name -> runs.minBy(_._1)
     }
     spark.stop()
 

@@ -397,6 +397,186 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // J5/J6 + §2.10 — label-sequence continuation (typed UDAF bitset prefix)
+    // + lag-window adjacency links.
+    "q_seq_link" -> ((s, dir) => {
+      val d = TranscriptWal.fromEvents(s, dir)
+        .select("conv_id", "turn_idx").distinct()
+      val prefixUdaf = udaf(new graft.ops.Aggregators.SeqPrefixLen(0))
+      val prefix = d.groupBy("conv_id")
+        .agg(prefixUdaf(col("turn_idx")).cast("long").as("prefix_len"))
+      val w = Window.partitionBy("conv_id").orderBy("turn_idx")
+      val links = d.withColumn("prev", lag(col("turn_idx"), 1).over(w))
+        .groupBy("conv_id").agg(
+          count(lit(1)).as("n_turns"),
+          count(when(col("turn_idx") - col("prev") === 1, 1)).as("n_adjacent"))
+      links.join(prefix, "conv_id")
+        .select("conv_id", "n_turns", "prefix_len", "n_adjacent")
+        .orderBy("conv_id")
+    }),
+
+    // J2/J3 — interval containment join (grid-bucketed equi-join, explode on
+    // overlap) + residual anti branch.
+    "q_interval_join" -> ((s, dir) => {
+      val wal = TranscriptWal.fromEvents(s, dir)
+      val ev = wal.select(col("conv_id"), col("lsn"), unix_micros(col("ts")).as("tsu"))
+      val windows = wal.groupBy("conv_id")
+        .agg(min(unix_micros(col("ts"))).as("s0"))
+        .select(col("conv_id"), col("s0"),
+          explode(array((0 until 4).map(i => lit(i)): _*)).as("wid"))
+        .withColumn("ws", col("s0") + col("wid").cast("long") * lit(600000000L))
+        .withColumn("we", col("ws") + lit(900000000L))
+        .drop("s0")
+      val asg = graft.ops.IntervalJoin.assign(ev, windows, "conv_id",
+        "tsu", "ws", "we", cellMicros = 300000000L)
+      val perEvent = asg.groupBy("conv_id", "lsn").agg(count(lit(1)).as("nw"))
+      val agg = perEvent.groupBy("conv_id").agg(
+        sum(col("nw")).as("n_assign"),
+        count(when(col("nw") >= 2, 1)).as("n_multi"))
+      val resid = graft.ops.IntervalJoin.residual(ev, windows, "conv_id", "lsn",
+        "tsu", "ws", "we", cellMicros = 300000000L)
+        .groupBy("conv_id").agg(count(lit(1)).as("n_residual"))
+      agg.join(resid, Seq("conv_id"), "left")
+        .select(col("conv_id"), col("n_assign"), col("n_multi"),
+          coalesce(col("n_residual"), lit(0L)).as("n_residual"))
+        .orderBy("conv_id")
+    }),
+
+    // W6 — bounded-lookback same-role linking via flatMapSortedGroups
+    // (secondary sort through the shuffle, O(lookback) state).
+    "q_list_link" -> ((s, dir) => {
+      val state = TranscriptWal.expectedState(TranscriptWal.fromEvents(s, dir))
+      graft.ops.GroupOps.linkSameRole(state, lookback = 5)
+        .groupBy("conv_id").agg(
+          count(lit(1)).as("n_turns"),
+          count(when(col("link_idx") >= 0, 1)).as("n_linked"),
+          coalesce(max(when(col("link_idx") >= 0, col("link_idx"))), lit(-1))
+            .cast("int").as("max_link"))
+        .orderBy("conv_id")
+    }),
+
+    // W10 — greedy span clustering (boundary depends on the running cluster
+    // START — not window-expressible) via flatMapSortedGroups.
+    "q_greedy_cluster" -> ((s, dir) => {
+      val d = TranscriptWal.fromEvents(s, dir)
+        .groupBy("conv_id", "turn_idx").agg(min(col("ts")).as("ts"))
+      graft.ops.GroupOps.greedyCluster(d, spanMicros = 1200000000L)
+        .groupBy("conv_id").agg(
+          count(lit(1)).as("n_turns"),
+          (max(col("cluster_id")) + 1).cast("long").as("n_clusters"))
+        .orderBy("conv_id")
+    }),
+
+    // W4 — multi-pass boundary cascade folded into one window pass
+    // (time gap OR role-escalation OR turn_idx reset).
+    "q_cascade_merge" -> ((s, dir) => {
+      val wal = TranscriptWal.fromEvents(s, dir)
+      CdcOps.sessionizeCascade(wal, "lsn", Seq(
+        (p, c) => unix_micros(c.getField("ts")) - unix_micros(p.getField("ts")) > 1800000000L,
+        (p, c) => c.getField("role") === "system" && p.getField("role") =!= "system",
+        (p, c) => c.getField("turn_idx") < p.getField("turn_idx")))
+        .groupBy("conv_id").agg(
+          max(col("session_id")).cast("long").as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy("conv_id")
+    }),
+
+    // §2.9 — event-time session_window aggregation (10-minute gap).
+    "q_session_window" -> ((s, dir) => {
+      val wal = TranscriptWal.fromEvents(s, dir)
+      wal.groupBy(col("conv_id"), session_window(col("ts"), "10 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("conv_id").agg(
+          count(lit(1)).as("n_sessions"),
+          sum(col("n")).as("n_events"))
+        .orderBy("conv_id")
+    }),
+
+    // A5 — iterative fixpoint aggregation: driver-bounded loop re-filtering
+    // docs below the (quantized) mean quality; per-iteration lineage rows.
+    "q_fixpoint" -> ((s, dir) => {
+      import s.implicits._
+      var kept = tbl(s, dir, "documents")
+        .select(col("doc_id"), TextOps.qualityScore(col("text")).as("q"))
+      val log = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
+      for (iter <- 1 to 3) {
+        // quantized mean: both engines compare identical 2-dp thresholds,
+        // immune to summation-order ulps
+        val m = kept.agg(round(avg(col("q")), 2)).collect()(0).getDouble(0)
+        kept = kept.where(col("q") >= m)
+        log += ((iter, kept.count(), m))
+      }
+      log.toSeq.toDF("iter", "n_docs", "mean_q").orderBy("iter")
+    }),
+
+    // F12 — flag-enrichment dims join (broadcast a literal role taxonomy).
+    "q_enrich_flags" -> ((s, dir) => {
+      import s.implicits._
+      val dim = Seq(("click", "interactive"), ("view", "passive"),
+        ("purchase", "transactional"), ("signup", "onboarding"),
+        ("error", "fault")).toDF("role", "role_class")
+      TranscriptWal.fromEvents(s, dir)
+        .join(broadcast(dim), Seq("role"), "left")
+        .groupBy("role_class").agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("conv_id")).as("n_convs"))
+        .orderBy("role_class")
+    }),
+
+    // A6 — quality-gated plan replacement: when() on aggregated stats picks
+    // the compact or full rendering plan per conversation.
+    "q_gated_replace" -> ((s, dir) => {
+      val wal = TranscriptWal.fromEvents(s, dir)
+      // the gate compares exact integers (sum < 40*count), never a rounded
+      // double: Spark rounds the decimal string of a double, DuckDB rounds
+      // its binary value — .xx5 quotients diverge between the two
+      wal.groupBy("conv_id").agg(
+          count(lit(1)).as("n_events"),
+          sum(length(col("text"))).as("text_chars"))
+        .withColumn("plan",
+          when(col("text_chars") < lit(40) * col("n_events"), lit("compact"))
+            .otherwise(lit("full")))
+        .orderBy("conv_id")
+    }),
+
+    // F10 — replacement-char ratio metric + substitution, per language.
+    "q_badchar" -> ((s, dir) => {
+      val planted = tbl(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" �x�")))
+          .otherwise(col("text")).as("text"))
+      planted
+        .withColumn("bad",
+          length(col("text")) - length(regexp_replace(col("text"), "�", "")))
+        .withColumn("ratio", col("bad").cast("double") / length(col("text")))
+        .withColumn("clean", regexp_replace(col("text"), "�", " "))
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("bad")).as("n_bad_chars"),
+          round(avg(col("ratio")), 6).as("avg_bad_ratio"),
+          sum(length(col("clean"))).as("clean_chars"))
+        .orderBy("lang")
+    }),
+
+    // S3 — trusted-source passthrough: the fast route skips sanitization,
+    // other routes pay for it; branches union over one scan.
+    "q_route_passthrough" -> ((s, dir) => {
+      val wal = TranscriptWal.fromEvents(s, dir)
+      graft.ops.Route.apply(wal, Map(
+        "quarantine" -> (df => CdcOps.sanitize(df)),
+        "review" -> (df => CdcOps.sanitize(df))))
+        .groupBy("route").agg(
+          count(lit(1)).as("n_events"),
+          sum(length(col("text"))).as("text_chars"))
+        .orderBy("route")
+    }),
+
+    // S8 — HTML report sink.
+    "q_export_html" -> ((s, dir) => {
+      val state = TranscriptWal.expectedState(TranscriptWal.fromEvents(s, dir))
+      graft.sink.TranscriptExport.toHtml(state).orderBy("conv_id")
+    }),
+
     // Multimodal plumbing: binary media column + typed metadata → partition-
     // batched (stub) codec → per-type feature stats.
     "q_media_features" -> ((s, dir) =>
@@ -418,6 +598,27 @@ object SparkEntry {
         .orderBy("lang")
     })
   )
+
+  /** DuckDB regexp_replace chain generated from the engine's own rule list —
+    * rule text and order cannot drift between Spark and the oracle.
+    */
+  private def sanitizeSqlChain(inner: String): String =
+    graft.ops.CdcOps.defaultSanitizeRules.foldLeft(s"($inner)") {
+      (acc, r) => s"regexp_replace($acc, '${r.pattern}', '${r.replacement}', 'g')"
+    }
+
+  /** DuckDB twin of TextOps.qualityScore (same arithmetic order + rounding). */
+  private val qualitySqlExpr: String =
+    """round(greatest(0.0,
+      |  least(CAST(len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS DOUBLE) / 20.0, 1.0)
+      |  * (1.0 - CAST(len(text) - len(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE)
+      |       / greatest(CAST(len(text) AS DOUBLE), 1.0))
+      |  * (1.0 - CAST(len(text) - len(regexp_replace(text, '�', '', 'g')) AS DOUBLE)
+      |       / greatest(CAST(len(text) AS DOUBLE), 1.0))
+      |  * least(1.0,
+      |      CAST(len(list_filter(string_split_regex(text, '\s+'), w -> w IN ('the','a','of','and'))) AS DOUBLE)
+      |        / greatest(CAST(len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS DOUBLE), 1.0)
+      |      * 5.0 + 0.5)), 4)""".stripMargin
 
   def oracleSql: Map[String, String] = {
     val walCte = s"WITH wal AS (${TranscriptWal.fromEventsSql})"
@@ -723,6 +924,197 @@ object SparkEntry {
           |       CAST(max(byteMax) AS INTEGER) AS max_byte,
           |       CAST(sum(frameCount) AS BIGINT) AS total_frames
           |FROM f GROUP BY mediaType ORDER BY mediaType""".stripMargin,
+
+      "q_seq_link" ->
+        s"""$walCte, d AS (SELECT DISTINCT conv_id, turn_idx FROM wal),
+           |r AS (SELECT conv_id, turn_idx,
+           |        row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1 AS rn,
+           |        lag(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+           |      FROM d)
+           |SELECT conv_id, count(*) AS n_turns,
+           |       count(*) FILTER (turn_idx = rn) AS prefix_len,
+           |       count(*) FILTER (turn_idx - prev = 1) AS n_adjacent
+           |FROM r GROUP BY conv_id ORDER BY conv_id""".stripMargin,
+
+      "q_interval_join" ->
+        s"""$walCte,
+           |ev AS (SELECT conv_id, lsn, epoch_us(ts) AS tsu FROM wal),
+           |m AS (SELECT conv_id, min(tsu) AS s0 FROM ev GROUP BY conv_id),
+           |w AS (SELECT conv_id, s0 + CAST(wid AS BIGINT)*600000000 AS ws,
+           |             s0 + CAST(wid AS BIGINT)*600000000 + 900000000 AS we
+           |      FROM m, (SELECT unnest([0,1,2,3]) AS wid)),
+           |a AS (SELECT e.conv_id, e.lsn FROM ev e
+           |      JOIN w ON e.conv_id = w.conv_id AND e.tsu >= w.ws AND e.tsu < w.we),
+           |pe AS (SELECT conv_id, lsn, count(*) AS nw FROM a GROUP BY conv_id, lsn),
+           |ag AS (SELECT conv_id, CAST(sum(nw) AS BIGINT) AS n_assign,
+           |              count(*) FILTER (nw >= 2) AS n_multi
+           |       FROM pe GROUP BY conv_id),
+           |res AS (SELECT e.conv_id, count(*) AS n_residual
+           |        FROM ev e LEFT JOIN pe ON e.conv_id = pe.conv_id AND e.lsn = pe.lsn
+           |        WHERE pe.lsn IS NULL GROUP BY e.conv_id)
+           |SELECT ag.conv_id AS conv_id, n_assign, n_multi,
+           |       coalesce(n_residual, 0) AS n_residual
+           |FROM ag LEFT JOIN res ON ag.conv_id = res.conv_id
+           |ORDER BY ag.conv_id""".stripMargin,
+
+      "q_list_link" ->
+        s"""$walCte, latest AS (
+           |  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+           |  FROM wal),
+           |state AS (SELECT conv_id, turn_idx, role FROM latest WHERE rn = 1 AND op <> 'D'),
+           |r AS (SELECT conv_id, turn_idx, role,
+           |        row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+           |      FROM state),
+           |l AS (SELECT a.conv_id, a.turn_idx, max(b.turn_idx) AS link_idx
+           |      FROM r a LEFT JOIN r b ON b.conv_id = a.conv_id AND b.role = a.role
+           |            AND b.rn BETWEEN a.rn - 5 AND a.rn - 1
+           |      GROUP BY a.conv_id, a.turn_idx)
+           |SELECT conv_id, count(*) AS n_turns, count(link_idx) AS n_linked,
+           |       CAST(coalesce(max(link_idx), -1) AS INTEGER) AS max_link
+           |FROM l GROUP BY conv_id ORDER BY conv_id""".stripMargin,
+
+      "q_greedy_cluster" ->
+        s"""${walCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+           |d0 AS (SELECT conv_id, turn_idx, min(ts) AS ts FROM wal GROUP BY conv_id, turn_idx),
+           |d AS (SELECT conv_id, turn_idx, epoch_us(ts) AS tsu,
+           |        row_number() OVER (PARTITION BY conv_id ORDER BY epoch_us(ts), turn_idx) AS rn
+           |      FROM d0),
+           |r AS (
+           |  SELECT conv_id, rn, tsu, CAST(0 AS BIGINT) AS cluster_id, tsu AS cstart
+           |  FROM d WHERE rn = 1
+           |  UNION ALL
+           |  SELECT d.conv_id, d.rn, d.tsu,
+           |    CASE WHEN d.tsu - r.cstart > 1200000000 THEN r.cluster_id + 1 ELSE r.cluster_id END,
+           |    CASE WHEN d.tsu - r.cstart > 1200000000 THEN d.tsu ELSE r.cstart END
+           |  FROM r JOIN d ON d.conv_id = r.conv_id AND d.rn = r.rn + 1)
+           |SELECT conv_id, count(*) AS n_turns,
+           |       CAST(max(cluster_id) + 1 AS BIGINT) AS n_clusters
+           |FROM r GROUP BY conv_id ORDER BY conv_id""".stripMargin,
+
+      "q_cascade_merge" ->
+        s"""$walCte, g AS (
+           |  SELECT conv_id,
+           |    lag(epoch_us(ts)) OVER w AS pts, lag(role) OVER w AS prole,
+           |    lag(turn_idx) OVER w AS pturn,
+           |    epoch_us(ts) AS tsu, role, turn_idx
+           |  FROM wal WINDOW w AS (PARTITION BY conv_id ORDER BY lsn)),
+           |f AS (SELECT conv_id,
+           |  CASE WHEN pts IS NULL THEN 1
+           |       WHEN tsu - pts > 1800000000
+           |            OR (role = 'system' AND prole <> 'system')
+           |            OR turn_idx < pturn THEN 1 ELSE 0 END AS flag
+           |  FROM g),
+           |sess AS (SELECT conv_id,
+           |  sum(flag) OVER (PARTITION BY conv_id ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+           |SELECT conv_id, CAST(max(sid) AS BIGINT) AS n_sessions, count(*) AS n_events
+           |FROM sess GROUP BY conv_id ORDER BY conv_id""".stripMargin,
+
+      "q_session_window" ->
+        s"""$walCte, g AS (
+           |  SELECT conv_id, CASE WHEN lag(ts) OVER w IS NULL THEN 1
+           |    WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 600000000 THEN 1
+           |    ELSE 0 END AS flag
+           |  FROM wal WINDOW w AS (PARTITION BY conv_id ORDER BY ts))
+           |SELECT conv_id, CAST(sum(flag) AS BIGINT) AS n_sessions,
+           |       count(*) AS n_events
+           |FROM g GROUP BY conv_id ORDER BY conv_id""".stripMargin,
+
+      "q_fixpoint" ->
+        s"""WITH t AS (SELECT doc_id, $qualitySqlExpr AS q FROM documents),
+           |m1 AS (SELECT round(avg(q), 2) AS m FROM t),
+           |k1 AS (SELECT q FROM t, m1 WHERE q >= m1.m),
+           |m2 AS (SELECT round(avg(q), 2) AS m FROM k1),
+           |k2 AS (SELECT q FROM k1, m2 WHERE q >= m2.m),
+           |m3 AS (SELECT round(avg(q), 2) AS m FROM k2),
+           |k3 AS (SELECT q FROM k2, m3 WHERE q >= m3.m)
+           |SELECT CAST(1 AS INTEGER) AS iter, (SELECT count(*) FROM k1) AS n_docs,
+           |       (SELECT m FROM m1) AS mean_q
+           |UNION ALL SELECT 2, (SELECT count(*) FROM k2), (SELECT m FROM m2)
+           |UNION ALL SELECT 3, (SELECT count(*) FROM k3), (SELECT m FROM m3)
+           |ORDER BY iter""".stripMargin,
+
+      "q_enrich_flags" ->
+        s"""$walCte, e AS (
+           |  SELECT CASE role WHEN 'click' THEN 'interactive' WHEN 'view' THEN 'passive'
+           |    WHEN 'purchase' THEN 'transactional' WHEN 'signup' THEN 'onboarding'
+           |    WHEN 'error' THEN 'fault' END AS role_class, conv_id
+           |  FROM wal)
+           |SELECT role_class, count(*) AS n_events, count(DISTINCT conv_id) AS n_convs
+           |FROM e GROUP BY role_class ORDER BY role_class""".stripMargin,
+
+      "q_gated_replace" ->
+        s"""$walCte
+           |SELECT conv_id, count(*) AS n_events,
+           |       CAST(sum(len(text)) AS BIGINT) AS text_chars,
+           |       CASE WHEN sum(len(text)) < 40 * count(*)
+           |            THEN 'compact' ELSE 'full' END AS plan
+           |FROM wal GROUP BY conv_id ORDER BY conv_id""".stripMargin,
+
+      "q_badchar" ->
+        """WITH p AS (
+          |  SELECT doc_id, lang,
+          |    CASE WHEN doc_id % 7 = 0 THEN text || ' �x�' ELSE text END AS text
+          |  FROM documents),
+          |c AS (
+          |  SELECT lang,
+          |    len(text) - len(regexp_replace(text, '�', '', 'g')) AS bad,
+          |    CAST(len(text) - len(regexp_replace(text, '�', '', 'g')) AS DOUBLE)
+          |      / len(text) AS ratio,
+          |    len(regexp_replace(text, '�', ' ', 'g')) AS clean_len
+          |  FROM p)
+          |SELECT lang, count(*) AS n_docs, CAST(sum(bad) AS BIGINT) AS n_bad_chars,
+          |       round(CAST(avg(ratio) AS DOUBLE), 6) AS avg_bad_ratio,
+          |       CAST(sum(clean_len) AS BIGINT) AS clean_chars
+          |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+
+      "q_route_passthrough" -> {
+        val sanitized = sanitizeSqlChain("text")
+        s"""$walCte, sig AS (
+           |  SELECT conv_id, count(*) AS n,
+           |         count(*) FILTER (op = 'D') AS dels,
+           |         count(DISTINCT turn_idx) AS turns
+           |  FROM wal GROUP BY conv_id),
+           |r AS (SELECT conv_id, CASE
+           |    WHEN CAST(dels AS DOUBLE) / n > 0.3 THEN 'quarantine'
+           |    WHEN n > 100 AND turns < CAST(n AS DOUBLE) / 10 THEN 'review'
+           |    ELSE 'fast' END AS route
+           |  FROM sig),
+           |x AS (SELECT r.route,
+           |        CASE WHEN r.route = 'fast' THEN w.text ELSE $sanitized END AS t
+           |      FROM wal w JOIN r ON w.conv_id = r.conv_id)
+           |SELECT route, count(*) AS n_events, CAST(sum(len(t)) AS BIGINT) AS text_chars
+           |FROM x GROUP BY route ORDER BY route""".stripMargin
+      },
+
+      "q_export_html" ->
+        s"""$walCte, latest AS (
+           |  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+           |  FROM wal),
+           |state AS (SELECT conv_id, turn_idx, role, text FROM latest WHERE rn = 1 AND op <> 'D')
+           |SELECT conv_id,
+           |  '<h2>' || conv_id || '</h2>' || chr(10) ||
+           |  string_agg('<p class="' || role || '">' ||
+           |    replace(replace(replace(replace(text,
+           |      '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '"', '&quot;') ||
+           |    '</p>', chr(10) ORDER BY turn_idx) AS doc
+           |FROM state GROUP BY conv_id ORDER BY conv_id""".stripMargin,
+
+      "q_export_markdown" ->
+        s"""$walCte, latest AS (
+           |  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+           |  FROM wal),
+           |state AS (SELECT conv_id, turn_idx, role, text, tool FROM latest WHERE rn = 1 AND op <> 'D')
+           |SELECT conv_id,
+           |  '## ' || conv_id || chr(10) || chr(10) ||
+           |  string_agg('**' || role || '**' ||
+           |    CASE WHEN tool IS NOT NULL THEN ' (' || tool || ')' ELSE '' END ||
+           |    ': ' || regexp_replace(text, '([*_`\\[\\]])', '\\\\\\1', 'g'),
+           |    chr(10) || chr(10) ORDER BY turn_idx) AS doc
+           |FROM state GROUP BY conv_id ORDER BY conv_id""".stripMargin,
+
+      "q_quality_score" ->
+        s"""SELECT doc_id, $qualitySqlExpr AS quality
+           |FROM documents ORDER BY doc_id""".stripMargin,
 
       "q_doc_quality" ->
         """WITH d AS (

@@ -153,6 +153,25 @@ object CdcOps {
       sum(flag).over(w.rowsBetween(Window.unboundedPreceding, 0)))
   }
 
+  /** W4 — multi-pass boundary cascade folded into ONE window pass: the
+    * reference's paragraph merge applies 8 boundary predicates in sequence
+    * (ParagraphProcessor.java:44-53, each pass re-walking the list); since
+    * every pass only ADDs boundaries, the cascade is equivalent to a single
+    * pass with the OR of all predicates — one shuffle instead of eight.
+    */
+  def sessionizeCascade(df: DataFrame, orderCol: String,
+                        boundaries: Seq[(Column, Column) => Column],
+                        partitionCols: Seq[String] = Seq("conv_id"),
+                        sessionCol: String = "session_id"): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))
+    val cur = struct(df.columns.map(col).toIndexedSeq: _*)
+    val prev = lag(cur, 1).over(w)
+    val flag = when(prev.isNull, 1)
+      .otherwise(boundaries.map(b => b(prev, cur)).reduce(_ || _).cast("int"))
+    df.withColumn(sessionCol,
+      sum(flag).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
   /** Gap-based session ids on a timestamp column (the common case). */
   def sessionizeByGap(df: DataFrame, tsCol: String, gapSeconds: Long,
                       partitionCols: Seq[String] = Seq("conv_id")): DataFrame =

@@ -34,7 +34,10 @@ object TextOps {
     val nTok = tokenCount(text)
     val stopRatio = size(filter(tokens(text), w => w.isin(stopwords.map(lit): _*)))
       .cast("double") / greatest(nTok.cast("double"), lit(1.0))
-    val punctRatio = (length(text) - length(regexp_replace(text, "[\\p{Punct}]", "")))
+    // Explicit ASCII ranges, not \p{Punct}: Java's \p{Punct} is the 32 ASCII
+    // specials while RE2's nearest class \p{P} excludes the symbol chars —
+    // spelling the ranges keeps every engine byte-identical.
+    val punctRatio = (length(text) - length(regexp_replace(text, "[!-/:-@\\[-`{-~]", "")))
       .cast("double") / greatest(length(text).cast("double"), lit(1.0))
     val badRatio = (length(text) - length(regexp_replace(text, "�", "")))
       .cast("double") / greatest(length(text).cast("double"), lit(1.0))

@@ -42,6 +42,25 @@ object TranscriptExport {
       c => concat(lit("## "), c, lit("\n\n")),
       sep = "\n\n")
 
+  /** HTML (S8 — reference html/HtmlGenerator.java walks the same tree):
+    * `<h2>` per conversation, `<p class=role>` per turn, entities escaped
+    * via a replace chain (&, <, >, " — & first so escapes aren't re-escaped;
+    * single-char literal patterns, cross-engine exact).
+    */
+  def toHtml(state: DataFrame): DataFrame = {
+    def esc(c: org.apache.spark.sql.Column) = {
+      val amp = regexp_replace(c, "&", "&amp;")
+      val ltr = regexp_replace(amp, "<", "&lt;")
+      val gtr = regexp_replace(ltr, ">", "&gt;")
+      regexp_replace(gtr, "\"", "&quot;")
+    }
+    renderPerConv(state,
+      t => concat(lit("<p class=\""), t.getField("role"), lit("\">"),
+        esc(t.getField("text")), lit("</p>")),
+      c => concat(lit("<h2>"), c, lit("</h2>\n")),
+      sep = "\n")
+  }
+
   /** Plain text: indented `role: text` lines. */
   def toText(state: DataFrame): DataFrame =
     renderPerConv(state,
