@@ -77,18 +77,35 @@ object SimilarityOps {
     df.withColumn("lsh_bucket", sig)
   }
 
-  /** Bucketed ANN: exact cosine only within colliding LSH buckets (plus the
-    * queries' own buckets), then top-k. Trades recall for a per-bucket join
-    * instead of a full cross product — the 100 TB plan.
+  /** Bucketed ANN: exact cosine only within colliding LSH buckets, then
+    * top-k — the 100 TB plan (per-bucket joins instead of a cross product).
+    *
+    * Recall + skew armor over the naive single-probe form:
+    *  - **Multi-probe**: each query also probes the `multiProbe` buckets at
+    *    Hamming distance 1 from its own (flip one projection bit) — the
+    *    standard trick that recovers most of the recall a near-boundary
+    *    vector loses, for probes× more lookups instead of 2^bits× more
+    *    tables.
+    *  - **Hot-bucket cap**: a degenerate bucket (all-zeros vectors, spam
+    *    clusters) is truncated to `maxBucket` corpus rows chosen by a
+    *    deterministic hash order — bounding any single bucket join.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 12,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              multiProbe: Int = 4, maxBucket: Int = 100000): DataFrame = {
+    val probes = array((lit(0L) +:
+      (0 until math.min(multiProbe, bits)).map(i => lit(1L << i))): _*)
     val qb = withLshBucket(queries, bits, vecCol)
       .select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv"), col("lsh_bucket"))
+      .select(col("query_id"), col("qv"),
+        explode(transform(probes, m => col("lsh_bucket").bitwiseXOR(m))).as("lsh_bucket"))
       .select(col("query_id"), col("qv"), col("lsh_bucket"),
         dotQ(col("qv"), col("qv")).as("qn"))
     val cb = withLshBucket(corpus, bits, vecCol)
       .select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv"), col("lsh_bucket"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("lsh_bucket").orderBy(xxhash64(col("neighbor_id")))))
+      .where(col("__rn") <= maxBucket).drop("__rn")
       .select(col("neighbor_id"), col("cv"), col("lsh_bucket"),
         dotQ(col("cv"), col("cv")).as("cn"))
     val sim = dotQ(col("qv"), col("cv")).cast("double") /
@@ -96,6 +113,8 @@ object SimilarityOps {
     val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("neighbor_id"))
     broadcast(qb).join(cb, Seq("lsh_bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
+      // a neighbor can collide on several probes — one candidate row each
+      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("sim", round(sim, 6))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)

@@ -68,6 +68,24 @@ object TranscriptExport {
       c => concat(c, lit("\n")),
       sep = "\n")
 
+  /** Chunked text rendering for pathological conversations: one output row
+    * per `turnsPerChunk` consecutive turns, so no aggregation buffer (and no
+    * output cell) ever holds a whole 10^7-turn conversation. Chunks carry
+    * (conv_id, chunk_idx) — a downstream writer concatenates or stores them
+    * as a multi-part document. Two bounded aggregations, no driver collect.
+    */
+  def toTextChunked(state: DataFrame, turnsPerChunk: Int = 1000): DataFrame = {
+    val turn = struct(col("turn_idx"), col("role"), col("text"), col("tool"))
+    state
+      .withColumn("chunk_idx", expr(s"turn_idx div $turnsPerChunk"))
+      .groupBy("conv_id", "chunk_idx")
+      .agg(array_sort(collect_list(turn)).as("turns"))
+      .select(col("conv_id"), col("chunk_idx"),
+        array_join(transform(col("turns"),
+          t => concat(lit("  "), t.getField("role"), lit(": "),
+            t.getField("text"))), "\n").as("doc"))
+  }
+
   /** Write one file tree per format — the reference's multi-sink single
     * traversal (same materialized state feeds every sink).
     */

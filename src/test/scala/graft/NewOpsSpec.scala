@@ -121,4 +121,36 @@ class NewOpsSpec extends AnyFunSuite {
     // identical-sig groups expand regardless of the cap (they skip banding)
     assert(capped.where(col("a_id") < 30 && col("b_id") < 30).count() == 30L * 29 / 2)
   }
+
+  test("toTextChunked equals unchunked rendering when chunks are concatenated") {
+    val wal = graft.wal.TranscriptWal.synthetic(spark, 500, 4)
+    val state = graft.wal.TranscriptWal.expectedState(wal)
+    val whole = graft.sink.TranscriptExport.toText(state)
+      .select($"conv_id", expr("substring(doc, length(conv_id) + 2)").as("body"))
+    val chunked = graft.sink.TranscriptExport.toTextChunked(state, turnsPerChunk = 7)
+      .groupBy("conv_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct($"chunk_idx", $"doc"))),
+        t => t.getField("doc")), "\n").as("body"))
+    val a = whole.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val b = chunked.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(a == b)
+    val nChunks = graft.sink.TranscriptExport.toTextChunked(state, 7).count()
+    assert(nChunks > state.select("conv_id").distinct().count())
+  }
+
+  test("multi-probe LSH ANN recall >= single-probe on the same corpus") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.where($"vec_id" < 20)
+    val brute = graft.ops.SimilarityOps.bruteForceTopK(e, q, k = 3)
+      .select("query_id", "neighbor_id")
+    val single = graft.ops.SimilarityOps.lshTopK(e, q, k = 3, bits = 8, multiProbe = 0)
+      .select("query_id", "neighbor_id")
+    val multi = graft.ops.SimilarityOps.lshTopK(e, q, k = 3, bits = 8, multiProbe = 8)
+      .select("query_id", "neighbor_id")
+    val rSingle = single.intersect(brute).count()
+    val rMulti = multi.intersect(brute).count()
+    assert(rMulti >= rSingle, s"multi-probe recall $rMulti < single $rSingle")
+    assert(rMulti > 0)
+  }
 }

@@ -95,6 +95,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(t.read().where($"tool".isNotNull).count() > 0)
   }
 
+  test("flatMapGroupsWithState carries conversation state across batches AND restarts") {
+    import org.apache.spark.sql.streaming.Trigger
+    val work = Files.createTempDirectory("state").toString
+    val walDir = s"$work/wal"
+    val wal = TranscriptWal.synthetic(spark, 400, 6, deleteFraction = 0.1).cache()
+    val outDir = s"$work/out"
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(graft.model.Schemas.changeEvent)
+        .option("maxFilesPerTrigger", 1).parquet(walDir)
+      val q = graft.stream.StatefulTracker.track(stream).toDF()
+        .writeStream
+        .option("checkpointLocation", s"$work/cp")
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          b.write.mode("append").parquet(outDir); ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+
+    // phase 1: two files, one per micro-batch → state must span batches
+    wal.where($"lsn" < 150).coalesce(1).write.mode("append").parquet(walDir)
+    wal.where($"lsn" >= 150 && $"lsn" < 300).coalesce(1).write.mode("append").parquet(walDir)
+    runOnce()
+    // phase 2: kill/resume — state store must survive the restart
+    wal.where($"lsn" >= 300).coalesce(1).write.mode("append").parquet(walDir)
+    runOnce()
+
+    val updates = spark.read.parquet(outDir)
+    // each conv's LAST update (max running total) must equal the batch truth
+    val finalPerConv = updates.groupBy("conv_id")
+      .agg(max("n_events").as("n_events"), max("n_deletes").as("n_deletes"),
+        max("max_lsn").as("max_lsn"))
+    val truth = wal.groupBy("conv_id").agg(
+      count(lit(1)).as("n_events"),
+      count(when($"op" === "D", 1)).as("n_deletes"),
+      max("lsn").as("max_lsn"))
+    assert(finalPerConv.exceptAll(truth).count() == 0 &&
+      truth.exceptAll(finalPerConv).count() == 0)
+    // state genuinely accumulated across >1 batch: some conv has an update
+    // row with running total > its batch_events (i.e. carried prior state)
+    assert(updates.where($"n_events" > $"batch_events").count() > 0)
+  }
+
   test("duplicate WAL file content does not double-apply rows") {
     val (walDir, conf) = workDirs()
     val wal = TranscriptWal.synthetic(spark, 300, 5).cache()
