@@ -577,6 +577,21 @@ object SparkEntry {
       graft.sink.TranscriptExport.toHtml(state).orderBy("conv_id")
     }),
 
+    // W9 — frame-based attachment: each event aggregates over a ±time frame
+    // of its conversation (rangeBetween window), then per-conv rollup.
+    "q_frame_attach" -> ((s, dir) => {
+      val wal = TranscriptWal.fromEvents(s, dir)
+        .select(col("conv_id"), unix_micros(col("ts")).as("tsu"))
+      val w = Window.partitionBy("conv_id").orderBy(col("tsu"))
+        .rangeBetween(-300000000L, 0L)
+      wal.withColumn("n_frame", count(lit(1)).over(w))
+        .groupBy("conv_id").agg(
+          count(lit(1)).as("n_events"),
+          sum(col("n_frame")).as("frame_mass"),
+          max(col("n_frame")).as("max_frame"))
+        .orderBy("conv_id")
+    }),
+
     // Multimodal plumbing: binary media column + typed metadata → partition-
     // batched (stub) codec → per-type feature stats.
     "q_media_features" -> ((s, dir) =>
@@ -1115,6 +1130,17 @@ object SparkEntry {
       "q_quality_score" ->
         s"""SELECT doc_id, $qualitySqlExpr AS quality
            |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q_frame_attach" ->
+        s"""$walCte, e AS (SELECT conv_id, epoch_us(ts) AS tsu FROM wal),
+           |f AS (SELECT conv_id,
+           |        count(*) OVER (PARTITION BY conv_id ORDER BY tsu
+           |          RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW) AS n_frame
+           |      FROM e)
+           |SELECT conv_id, count(*) AS n_events,
+           |       CAST(sum(n_frame) AS BIGINT) AS frame_mass,
+           |       max(n_frame) AS max_frame
+           |FROM f GROUP BY conv_id ORDER BY conv_id""".stripMargin,
 
       "q_doc_quality" ->
         """WITH d AS (

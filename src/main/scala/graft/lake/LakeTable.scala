@@ -339,13 +339,23 @@ final class LakeTable(val spark: SparkSession, val path: String,
 
   /** Fold base+deltas of the given buckets into a new base (one row per key,
     * tombstones retained). Copy-on-write, but only for over-deltaed buckets.
+    *
+    * `dropTombstonesBelowLsn`: a winning 'D' row with `_lsn` under the
+    * horizon is physically dropped. Safe iff the caller guarantees no future
+    * event arrives with lsn ≤ horizon (the checkpoint/watermark guarantee) —
+    * any later event for the key then carries a higher lsn and would have
+    * beaten the tombstone anyway. Without GC, delete-heavy tables carry every
+    * tombstone forever.
     */
   private def compactBuckets(buckets: Map[Int, BucketState], targets: Seq[Int],
-                             schema: StructType, version: Long): Map[Int, BucketState] = {
+                             schema: StructType, version: Long,
+                             dropTombstonesBelowLsn: Option[Long] = None): Map[Int, BucketState] = {
     val fSchema = fileSchema(schema)
     val files = targets.flatMap(b => buckets(b).allFiles)
     val rows = scanFiles(files, fSchema).withColumn("__pri", lit(0))
-    val compacted = arbitrate(rows, schema)
+    val arbitrated = arbitrate(rows, schema)
+    val compacted = dropTombstonesBelowLsn.fold(arbitrated)(h =>
+      arbitrated.where(!(col("op") === "D" && col("_lsn") < lit(h))))
     val rel = f"data/e$version%010d-c"
     compacted.withColumn("b", bucketExpr)
       .repartition(math.min(targets.size, spark.sparkContext.defaultParallelism * 2),
@@ -378,13 +388,20 @@ final class LakeTable(val spark: SparkSession, val path: String,
       arb.where(col("op") =!= "D").drop("op", "_lsn")
   }
 
-  /** Compact every bucket that has any deltas (maintenance entry point). */
-  def compactAll(): Unit = {
+  /** Compact every bucket that has any deltas (maintenance entry point).
+    * Pass `dropTombstonesBelowLsn` to also GC tombstones under the caller's
+    * no-more-stragglers horizon (see [[compactBuckets]]); when set, even
+    * delta-free buckets are rewritten so their tombstones age out too.
+    */
+  def compactAll(dropTombstonesBelowLsn: Option[Long] = None): Unit = {
     currentSnapshot.foreach { s =>
-      val targets = s.buckets.filter(_._2.deltas.nonEmpty).keys.toSeq
+      val targets =
+        if (dropTombstonesBelowLsn.isDefined) s.buckets.keys.toSeq
+        else s.buckets.filter(_._2.deltas.nonEmpty).keys.toSeq
       if (targets.nonEmpty) {
         val version = s.version + 1
-        val finalBuckets = compactBuckets(s.buckets, targets, s.schema, version)
+        val finalBuckets = compactBuckets(s.buckets, targets, s.schema, version,
+          dropTombstonesBelowLsn)
         writeSnapshot(s.copy(version = version, buckets = finalBuckets))
       }
     }

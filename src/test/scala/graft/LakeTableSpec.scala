@@ -229,6 +229,32 @@ class LakeTableSpec extends AnyFunSuite {
     }
   }
 
+  test("tombstone GC: compaction under an lsn horizon drops dead tombstones") {
+    val t = freshTable(buckets = 4)
+    val wal = TranscriptWal.synthetic(spark, 500, 8, deleteFraction = 0.2)
+    t.merge(wal, "t", 1)
+    val before = t.read().orderBy("conv_id", "turn_idx").collect().toSeq
+    def tombstones(): Long = {
+      val s = t.currentSnapshot.get
+      val files = s.buckets.values.flatMap(_.allFiles).toSeq
+      spark.read.parquet(files.map(f => s"${t.path}/$f"): _*)
+        .where($"op" === "D").count()
+    }
+    t.compactAll() // retention default: tombstones survive compaction
+    assert(tombstones() > 0)
+    // horizon above every seen lsn: all winning tombstones are GC-able
+    t.compactAll(dropTombstonesBelowLsn = Some(10000000L))
+    assert(tombstones() == 0)
+    val after = t.read().orderBy("conv_id", "turn_idx").collect().toSeq
+    assert(after == before, "live state unchanged by tombstone GC")
+    // a later higher-lsn upsert recreates a deleted key normally
+    val revive = wal.where($"op" === "D").limit(1)
+      .withColumn("op", lit("U")).withColumn("lsn", $"lsn" + 20000000L)
+      .withColumn("text", lit("revived"))
+    t.merge(revive, "t", 2)
+    assert(t.read().where($"text" === "revived").count() == 1)
+  }
+
   test("lineage metrics accumulate in snapshots") {
     val t = freshTable()
     val wal = TranscriptWal.synthetic(spark, 200, 5, deleteFraction = 0.2)
