@@ -37,6 +37,12 @@ object CdcIngestJob {
       df = CdcOps.dropLate(df, highWaterMicros,
         expr(s"INTERVAL '${conf.watermarkDelay}'"), lateObs)
     if (conf.sanitize) df = CdcOps.sanitize(df)
+    if (conf.flagBoilerplate)
+      // drop cross-conversation boilerplate turns before they reach the lake
+      // (reference: header/footer rows never enter the content stream)
+      df = CdcOps.flagBoilerplate(df)
+        .where(!org.apache.spark.sql.functions.col("is_boilerplate"))
+        .drop("is_boilerplate")
     df
   }
 

@@ -121,4 +121,20 @@ class CdcOpsSpec extends AnyFunSuite {
       .select(spark_partition_id()).distinct().count()
     assert(parts > 1, s"hot conv landed in $parts partition(s)")
   }
+
+  test("pipeline with flagBoilerplate drops cross-conv repeated turns") {
+    import graft.model.IngestConfig
+    def ts(i: Int) = new java.sql.Timestamp(1704067200000L + i * 1000L)
+    val boiler = (0 until 20).map(i => ("U", 1000L + i, ts(i), s"c$i", 0,
+      "assistant", "PLEASE RATE THIS CHAT", null: String, ts(i)))
+    val unique = (0 until 5).map(i => ("U", 2000L + i, ts(i), s"c$i", 1,
+      "user", s"unique text $i", null: String, ts(i)))
+    val df = (boiler ++ unique)
+      .toDF("op", "lsn", "commit_ts", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val conf = IngestConfig(tablePath = "/tmp/x", checkpointPath = "/tmp/y",
+      enforceWatermark = false, flagBoilerplate = true)
+    val out = graft.stream.CdcIngestJob.pipeline(df, conf, 0L)
+    assert(out.count() == 5)
+    assert(out.where($"text" === "PLEASE RATE THIS CHAT").count() == 0)
+  }
 }
