@@ -107,6 +107,15 @@ object Bench {
       .repartition(8).write.parquet(warmDir)
     gen.stop()
 
+    // Full-size prewarm: the FIRST full WAL read pays the host's lazy page
+    // faulting for the tmpfs files (observed 6x slower with 9% sys time);
+    // one unrecorded pass prefaults them so pair 1 measures the engine.
+    locally {
+      val s = session(nHigh)
+      cdcRun(s, walDir, nEvents, buckets)
+      s.stop()
+    }
+
     def measured(cores: Int): Trial = {
       val s = session(cores)
       cdcRun(s, warmDir, 100000, buckets) // warmup: JIT + codegen + shuffle
@@ -122,7 +131,11 @@ object Bench {
     val maxAttempts = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_ATTEMPTS", "7").toInt
     final case class Pair(low: Trial, high: Trial) {
       def eff: Double = (high.tput / low.tput) / (nHigh.toDouble / nLow)
-      def quiet: Boolean = low.steal < 0.02 && high.steal < 0.02
+      // steal = hypervisor neighbors; sys = guest memory-fault storms (lazy
+      // host faulting of fresh tmpfs/heap pages shows as system time, not
+      // steal — measured 9%+ sys on storm trials vs <6% on clean ones)
+      def quiet: Boolean = low.steal < 0.02 && high.steal < 0.02 &&
+        low.sys < 0.08 && high.sys < 0.08
     }
     var pairs = Vector.empty[Pair]
     var attempt = 0

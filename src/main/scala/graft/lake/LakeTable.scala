@@ -277,10 +277,12 @@ final class LakeTable(val spark: SparkSession, val path: String,
     phased("delta-write")(
       out.write.mode("overwrite").partitionBy("b").parquet(s"$path/$rel"))
 
+    // An all-filtered (empty) batch can constant-fold the CollectMetrics
+    // node away — missing keys mean zero rows, not an error.
     val stats = obs.get
-    val events = stats("n").asInstanceOf[Long]
-    val deletes = stats("d").asInstanceOf[Long]
-    val batchHigh = Option(stats("hw")).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val events = stats.get("n").map(_.asInstanceOf[Long]).getOrElse(0L)
+    val deletes = stats.get("d").map(_.asInstanceOf[Long]).getOrElse(0L)
+    val batchHigh = stats.get("hw").flatMap(Option(_)).map(_.asInstanceOf[Long]).getOrElse(0L)
 
     val newFiles = listBucketFiles(rel, 0 until numBuckets)
     val touched = newFiles.filter(_._2.nonEmpty).keys.toSeq

@@ -54,10 +54,11 @@ object CdcOps {
     // mixing (same rule as q_window_lag).
     val cutoff = timestamp_micros(lit(highWaterMicros)) - delay
     val counted = obs match {
-      // An Observation surfaces the count through foreachBatch (a named
-      // observe() on a batch frame only reaches QueryExecutionListener, NOT
-      // the streaming progress bus — so callers that need the number must
-      // pass an Observation and read it after the batch action completes).
+      // CAVEAT: an observed count is best-effort lineage — if the downstream
+      // action's AQE plan propagates an empty relation through a later
+      // exchange, the CollectMetrics subtree is elided and the count never
+      // materializes. Callers needing an EXACT late count run a dedicated
+      // pruned-scan count (see CdcIngestJob.startWithMetrics).
       case Some(o) =>
         events.observe(o, count(when(col("commit_ts") < cutoff, 1)).as("late_drops"))
       case None =>

@@ -30,12 +30,11 @@ object CdcIngestJob {
     * merge's single arbitration aggregate collapses them for free (identical
     * payloads, same max_by winner), saving a full shuffle per batch.
     */
-  def pipeline(batch: DataFrame, conf: IngestConfig, highWaterMicros: Long,
-               lateObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+  def pipeline(batch: DataFrame, conf: IngestConfig, highWaterMicros: Long): DataFrame = {
     var df = batch
     if (conf.enforceWatermark && highWaterMicros > 0L)
       df = CdcOps.dropLate(df, highWaterMicros,
-        expr(s"INTERVAL '${conf.watermarkDelay}'"), lateObs)
+        expr(s"INTERVAL '${conf.watermarkDelay}'"))
     if (conf.sanitize) df = CdcOps.sanitize(df)
     if (conf.flagBoilerplate)
       // drop cross-conversation boilerplate turns before they reach the lake
@@ -46,9 +45,10 @@ object CdcIngestJob {
     df
   }
 
-  /** Per-run lineage totals accumulated on the driver (late drops ride an
-    * Observation through foreachBatch — a named observe() on a batch frame
-    * never reaches StreamingQueryProgress, so this is the truthful channel).
+  /** Per-run lineage totals accumulated on the driver. (Observed metrics on
+    * a foreachBatch frame never reach StreamingQueryProgress, and AQE can
+    * elide CollectMetrics on empty batches — so late drops are counted by a
+    * dedicated action and accumulated here.)
     */
   final class IngestMetrics {
     private val late = new java.util.concurrent.atomic.LongAdder
@@ -97,17 +97,19 @@ object CdcIngestJob {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val hw = table.currentSnapshot.map(_.highWaterMicros).getOrElse(0L)
-        val lateObs =
-          if (conf.enforceWatermark && hw > 0L)
-            Some(org.apache.spark.sql.Observation(s"late-$batchId"))
-          else None
-        val staged = pipeline(batch, conf, hw, lateObs)
+        val staged = pipeline(batch, conf, hw)
         val res = table.merge(staged, epochNs, batchId)
-        // The merge's write is the batch's action; Observation.get is
-        // complete once it returns (0 if the epoch was a replay no-op).
+        // Late count is its OWN action, not an Observation riding the merge:
+        // when a whole batch is late, AQE's empty-relation propagation
+        // through the merge's repartition drops the CollectMetrics subtree
+        // and the observed count silently reads 0. This scan is cheap — the commit_ts
+        // predicate pushes into the parquet scan and only that column is
+        // read.
         val lateDrops =
-          if (res.applied)
-            lateObs.map(_.get("late_drops").asInstanceOf[Long]).getOrElse(0L)
+          if (res.applied && conf.enforceWatermark && hw > 0L)
+            batch.where(col("commit_ts") <
+              timestamp_micros(lit(hw)) - expr(s"INTERVAL '${conf.watermarkDelay}'"))
+              .count()
           else 0L
         metrics.add(lateDrops, res.events)
         // Per-batch lineage to the driver log; the snapshot carries the same

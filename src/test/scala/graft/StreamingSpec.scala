@@ -141,6 +141,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(updates.where($"n_events" > $"batch_events").count() > 0)
   }
 
+  test("watermark enforcement counts and drops late events (IngestMetrics)") {
+    val work = Files.createTempDirectory("late").toString
+    val conf = IngestConfig(
+      tablePath = s"$work/table", checkpointPath = s"$work/cp",
+      numBuckets = 8, enforceWatermark = true, watermarkDelay = "1 hour",
+      maxFilesPerTrigger = 1)
+    val walDir = s"$work/wal"
+    // synthetic commit_ts = epoch + 2s*lsn: high-lsn file first establishes a
+    // high-water mark; the low-lsn file is then ~11 days too old.
+    val recent = TranscriptWal.synthetic(spark, 300, 5, lsnOffset = 500000L)
+    val stale = TranscriptWal.synthetic(spark, 200, 5)
+    recent.coalesce(1).write.mode("append").parquet(walDir)
+    val (q1, m1) = CdcIngestJob.startWithMetrics(spark, walDir, conf)
+    q1.awaitTermination()
+    assert(m1.lateDrops == 0)
+
+    stale.coalesce(1).write.mode("append").parquet(walDir)
+    val (q2, m2) = CdcIngestJob.startWithMetrics(spark, walDir, conf)
+    q2.awaitTermination()
+    assert(m2.lateDrops == 200, s"expected all stale events counted, got ${m2.lateDrops}")
+    val t = new LakeTable(spark, conf.tablePath, conf.numBuckets)
+    assert(t.readWithLsn().where($"_lsn" < 500000L).count() == 0,
+      "late events must not reach the table")
+  }
+
   test("duplicate WAL file content does not double-apply rows") {
     val (walDir, conf) = workDirs()
     val wal = TranscriptWal.synthetic(spark, 300, 5).cache()
