@@ -597,6 +597,13 @@ object SparkEntry {
     "q_media_features" -> ((s, dir) =>
       MultimodalOps.mediaFeatureStats(s, dir)),
 
+    // REAL multimodal decode: genuine WAV/BMP blobs parsed by a pure-JVM
+    // binary codec; the oracle recomputes the expected decode output from
+    // the generation formulas — a header-parse bug breaks the match.
+    "q_media_decode" -> ((s, dir) =>
+      MultimodalOps.decodeReal(MultimodalOps.realMediaTable(s, dir))
+        .orderBy("doc_id").toDF()),
+
     // Token counting + quality scoring per language.
     "q_doc_quality" -> ((s, dir) => {
       val toks = size(filter(split(col("text"), " "), w => w =!= ""))
@@ -1130,6 +1137,20 @@ object SparkEntry {
       "q_quality_score" ->
         s"""SELECT doc_id, $qualitySqlExpr AS quality
            |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q_media_decode" ->
+        """SELECT doc_id,
+          |  CASE WHEN doc_id % 2 = 0 THEN 'audio' ELSE 'image' END AS media_type,
+          |  CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 + (doc_id % 3) * 4000
+          |       ELSE 1 + doc_id % 8 END AS INTEGER) AS dim1,
+          |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1
+          |       ELSE 1 + doc_id % 5 END AS INTEGER) AS dim2,
+          |  CAST(CASE WHEN doc_id % 2 = 0 THEN 50 + doc_id % 50
+          |       ELSE (1 + doc_id % 8) * (1 + doc_id % 5) END AS BIGINT) AS payload_units,
+          |  CAST(CASE WHEN doc_id % 2 = 0
+          |       THEN (50 + doc_id % 50) * 1000000 // (8000 + (doc_id % 3) * 4000)
+          |       ELSE 0 END AS BIGINT) AS duration_micros
+          |FROM documents ORDER BY doc_id""".stripMargin,
 
       "q_frame_attach" ->
         s"""$walCte, e AS (SELECT conv_id, epoch_us(ts) AS tsu FROM wal),

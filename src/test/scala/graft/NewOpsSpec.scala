@@ -153,4 +153,20 @@ class NewOpsSpec extends AnyFunSuite {
     assert(rMulti >= rSingle, s"multi-probe recall $rMulti < single $rSingle")
     assert(rMulti > 0)
   }
+
+  test("RealCodec round-trips generated WAV/BMP and rejects corrupt blobs") {
+    import graft.ops.MultimodalOps.{MediaGen, RealCodec}
+    val a = RealCodec.decode(4L, MediaGen.wav(4L)).get
+    assert(a.media_type == "audio" && a.dim1 == 8000 + (4 % 3) * 4000)
+    assert(a.dim2 == 1 && a.payload_units == 50 + 4 % 50)
+    assert(a.duration_micros == (50 + 4 % 50) * 1000000L / a.dim1)
+    val i7 = RealCodec.decode(7L, MediaGen.bmp(7L)).get
+    assert(i7.media_type == "image" && i7.dim1 == 1 + 7 % 8 && i7.dim2 == 1 + 7 % 5)
+    assert(RealCodec.decode(1L, "not a container".getBytes).isEmpty)
+    assert(RealCodec.decode(1L, Array[Byte]('R', 'I', 'F', 'F')).isEmpty)
+    // corrupt header field: zero sample rate
+    val bad = MediaGen.wav(2L).clone()
+    bad(24) = 0; bad(25) = 0; bad(26) = 0; bad(27) = 0
+    assert(RealCodec.decode(2L, bad).isEmpty)
+  }
 }
