@@ -498,6 +498,7 @@ object SparkEntry {
       import s.implicits._
       var kept = tbl(s, dir, "documents")
         .select(col("doc_id"), TextOps.qualityScore(col("text")).as("q"))
+        .persist() // 6 actions over the loop — score the corpus once
       val log = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
       for (iter <- 1 to 3) {
         // quantized mean: both engines compare identical 2-dp thresholds,

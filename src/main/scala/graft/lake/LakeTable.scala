@@ -75,7 +75,8 @@ final class LakeTable(val spark: SparkSession, val path: String,
       buckets: Map[Int, BucketState],
       committedEpochs: Map[String, Long],
       highWaterMicros: Long,
-      metrics: Map[String, Long]
+      metrics: Map[String, Long],
+      numBuckets: Int
   )
 
   private def snapPath(v: Long): Path = snapDir.resolve(f"v$v%010d.json")
@@ -96,6 +97,17 @@ final class LakeTable(val spark: SparkSession, val path: String,
 
   def currentSnapshot: Option[Snapshot] = latestVersion.map(readSnapshot)
 
+  /** Bucket count the TABLE was created with (from the latest snapshot) —
+    * the writer expression and point-lookup pruning must use this, never a
+    * mismatched constructor argument (silent mis-bucketing otherwise).
+    */
+  def tableNumBuckets: Int = currentSnapshot.map(_.numBuckets).getOrElse(numBuckets)
+
+  private def checkBuckets(s: Snapshot): Unit =
+    require(s.numBuckets == numBuckets,
+      s"table at $path was created with numBuckets=${s.numBuckets}, opened " +
+        s"with $numBuckets — rebucket() to migrate, never mix bucket layouts")
+
   private def readSnapshot(v: Long): Snapshot = {
     val root = mapper.readTree(Files.readString(snapPath(v)))
     val schema = DataType.fromJson(root.get("schema").asText).asInstanceOf[StructType]
@@ -108,8 +120,9 @@ final class LakeTable(val spark: SparkSession, val path: String,
       .map(e => e.getKey -> e.getValue.asLong).toMap
     val metrics = root.get("metrics").fields().asScala
       .map(e => e.getKey -> e.getValue.asLong).toMap
+    val nb = Option(root.get("numBuckets")).map(_.asInt).getOrElse(numBuckets)
     Snapshot(root.get("version").asLong, schema, buckets, epochs,
-      root.get("highWaterMicros").asLong, metrics)
+      root.get("highWaterMicros").asLong, metrics, nb)
   }
 
   private def writeSnapshot(s: Snapshot): Unit = {
@@ -125,6 +138,7 @@ final class LakeTable(val spark: SparkSession, val path: String,
     val en = node.putObject("committedEpochs")
     s.committedEpochs.foreach { case (k, v) => en.put(k, v) }
     node.put("highWaterMicros", s.highWaterMicros)
+    node.put("numBuckets", s.numBuckets)
     val mn = node.putObject("metrics")
     s.metrics.foreach { case (k, v) => mn.put(k, v) }
     val tmp = snapDir.resolve(s".v${s.version}.tmp")
@@ -183,6 +197,7 @@ final class LakeTable(val spark: SparkSession, val path: String,
   def readWithLsn(): DataFrame = currentSnapshot match {
     case None => spark.emptyDataFrame
     case Some(s) =>
+      checkBuckets(s)
       val schema = fileSchema(s.schema)
       val (dirty, clean) = s.buckets.values.toSeq.partition(_.deltas.nonEmpty)
       val outCols = (Seq("conv_id", "turn_idx", "op", "_lsn") ++
@@ -213,6 +228,7 @@ final class LakeTable(val spark: SparkSession, val path: String,
     */
   def merge(batch: DataFrame, epochNs: String, epochId: Long): MergeResult = {
     val prev = currentSnapshot
+    prev.foreach(checkBuckets)
     val alreadyCommitted =
       prev.exists(_.committedEpochs.get(epochNs).exists(_ >= epochId))
     if (alreadyCommitted) {
@@ -311,6 +327,7 @@ final class LakeTable(val spark: SparkSession, val path: String,
         version = version,
         schema = unified,
         buckets = finalBuckets,
+        numBuckets = numBuckets,
         committedEpochs = prev.map(_.committedEpochs).getOrElse(Map.empty) + (epochNs -> epochId),
         highWaterMicros = math.max(prev.map(_.highWaterMicros).getOrElse(0L), batchHigh),
         metrics = Map(
@@ -376,6 +393,7 @@ final class LakeTable(val spark: SparkSession, val path: String,
   def readConv(convId: String): DataFrame = currentSnapshot match {
     case None => spark.emptyDataFrame
     case Some(s) =>
+      checkBuckets(s)
       // Same hash family the writer's `xxhash64` Column uses (XXH64, seed 42,
       // UTF-8 bytes), evaluated driver-side — a point lookup must not launch
       // a Spark job to hash one literal. Parity with the writer expression is
@@ -406,6 +424,34 @@ final class LakeTable(val spark: SparkSession, val path: String,
           dropTombstonesBelowLsn)
         writeSnapshot(s.copy(version = version, buckets = finalBuckets))
       }
+    }
+  }
+
+  /** Bucket-count migration: rewrite the live state (plus still-guarded
+    * tombstones) into a NEW table at `newPath` with `newNumBuckets` — the
+    * only correct way to change the bucket layout (in-place mixing would
+    * break the writer/reader hash agreement). One full-table pass; at scale
+    * this is the rare, planned rebalancing job, not an ingest-path cost.
+    * Tombstones keep their original lsn so straggler protection carries
+    * over; epochs/metrics start fresh (lineage of a new physical table).
+    */
+  def rebucket(newPath: String, newNumBuckets: Int): LakeTable = {
+    val target = new LakeTable(spark, newPath, newNumBuckets,
+      maxDeltasPerBucket, writeSalt)
+    currentSnapshot match {
+      case None => target
+      case Some(s) =>
+        checkBuckets(s)
+        val rows = scanFiles(s.buckets.values.flatMap(_.allFiles).toSeq,
+          fileSchema(s.schema)).withColumn("__pri", lit(0))
+        val state = arbitrate(rows, s.schema) // op + payload + _lsn, one row/key
+        val batch = state
+          .withColumn("lsn", col("_lsn"))
+          .withColumn("commit_ts", timestamp_micros(lit(s.highWaterMicros)))
+          .drop("_lsn")
+        target.merge(batch, "rebucket", 0L)
+        target.compactAll()
+        target
     }
   }
 

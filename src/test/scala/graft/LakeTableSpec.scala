@@ -255,6 +255,35 @@ class LakeTableSpec extends AnyFunSuite {
     assert(t.read().where($"text" === "revived").count() == 1)
   }
 
+  test("bucket-count mismatch is rejected; rebucket() migrates correctly") {
+    val path = Files.createTempDirectory("lake").toString
+    val t16 = new LakeTable(spark, path, numBuckets = 16)
+    val wal = TranscriptWal.synthetic(spark, 600, 12, deleteFraction = 0.1)
+    t16.merge(wal, "t", 1)
+    val before = t16.read().orderBy("conv_id", "turn_idx").collect().toSeq
+
+    // opening with a different bucket count must fail loudly, not mis-bucket
+    val wrong = new LakeTable(spark, path, numBuckets = 8)
+    intercept[IllegalArgumentException] { wrong.read().collect() }
+    intercept[IllegalArgumentException] { wrong.merge(wal, "t", 2) }
+
+    // migration: same state, new layout, point lookups use the new hash
+    val t4 = t16.rebucket(Files.createTempDirectory("lake4").toString, 4)
+    val after = t4.read().orderBy("conv_id", "turn_idx").collect().toSeq
+    assert(after == before)
+    assert(t4.currentSnapshot.get.numBuckets == 4)
+    val conv = before.head.getString(0)
+    val pruned = t4.readConv(conv).select("conv_id", "turn_idx").collect().toSet
+    val full = t4.read().where($"conv_id" === conv)
+      .select("conv_id", "turn_idx").collect().toSet
+    assert(pruned == full && pruned.nonEmpty)
+    // later-lsn writes continue normally on the migrated table
+    val more = wal.where($"op" =!= "D").limit(5)
+      .withColumn("lsn", $"lsn" + 1000000L).withColumn("text", lit("post-migration"))
+    t4.merge(more, "m", 1)
+    assert(t4.read().where($"text" === "post-migration").count() == 5)
+  }
+
   test("lineage metrics accumulate in snapshots") {
     val t = freshTable()
     val wal = TranscriptWal.synthetic(spark, 200, 5, deleteFraction = 0.2)
