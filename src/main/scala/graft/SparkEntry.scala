@@ -593,6 +593,18 @@ object SparkEntry {
         .orderBy("conv_id")
     }),
 
+    // IVF ANN (the second scale path next to LSH): hash-seeded centroids +
+    // one Lloyd refinement, nprobe-list search. Rows-only (centroids are
+    // hash-derived); spec proves nprobe=nlist reduces to exact search.
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      SimilarityOps.ivfTopK(e, e.where(col("vec_id") < 50), k = 5,
+        nlist = 16, nprobe = 4)
+        .groupBy("query_id").agg(count(lit(1)).as("n_neighbors"),
+          round(max(col("sim")), 6).as("best_sim"))
+        .orderBy("query_id")
+    }),
+
     // Multimodal plumbing: binary media column + typed metadata → partition-
     // batched (stub) codec → per-type feature stats.
     "q_media_features" -> ((s, dir) =>

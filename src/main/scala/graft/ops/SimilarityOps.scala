@@ -77,6 +77,90 @@ object SimilarityOps {
     df.withColumn("lsh_bucket", sig)
   }
 
+  /** IVF (inverted-file) ANN — the other classic scale path: a coarse
+    * quantizer of `nlist` centroids partitions the corpus into lists; a
+    * query searches only its `nprobe` nearest lists.
+    *
+    * Spark-first + deterministic: seed centroids are a hash-ordered sample
+    * (no RNG), refined by ONE Lloyd iteration (assign = broadcast-join
+    * argmin, recompute = groupBy mean via element-wise array aggregation).
+    * Index build is the n×nlist assignment join — the planned, amortized
+    * cost; queries pay nprobe/nlist of a full scan.
+    */
+  def ivfCentroids(corpus: DataFrame, nlist: Int,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val seeds = corpus
+      .select(col(idCol), transform(col(vecCol), _.cast("double")).as("c"))
+      .withColumn("__r", xxhash64(col(idCol)))
+      .orderBy("__r").limit(nlist)
+      .select(row_number().over(Window.orderBy("__r")).as("list_id"), col("c"))
+    // one Lloyd refinement: assign every vector to its nearest seed, then
+    // the new centroid is the element-wise mean of its members. Means are
+    // computed per (list, dimension-position) via posexplode — the agg
+    // buffer is bounded by the DIMENSION, never by list membership (a
+    // collect_list of member vectors would buffer a whole list in one
+    // aggregation buffer at scale).
+    val assigned = assignToNearest(corpus, seeds, idCol, vecCol)
+    assigned
+      .select(col("list_id"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("list_id", "pos").agg(avg(col("x")).as("m"))
+      .groupBy("list_id")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        t => t.getField("m")).as("c"))
+  }
+
+  /** (id, v, list_id): nearest centroid per vector via broadcast argmin. */
+  def assignToNearest(vectors: DataFrame, centroids: DataFrame,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = vectors.select(col(idCol), transform(col(vecCol), _.cast("double")).as("v"))
+    val joined = v.crossJoin(broadcast(centroids))
+      .withColumn("__d",
+        aggregate(zip_with(col("v"), col("c"), (a, b) => (a - b) * (a - b)),
+          lit(0.0d), (acc, x) => acc + x))
+    val w = Window.partitionBy(idCol).orderBy(col("__d"), col("list_id"))
+    joined.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col(idCol), col("v"), col("list_id"))
+  }
+
+  /** IVF search: probe the `nprobe` nearest lists per query, exact cosine
+    * inside them, top-k. Returns (query_id, neighbor_id, rank, sim).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nlist: Int = 16,
+              nprobe: Int = 4, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val cents = ivfCentroids(corpus, nlist, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // similarity uses the same integer-quantized dot as bruteForceTopK, so
+    // near-tie rankings agree bit-for-bit across the two search paths
+    val lists = assignToNearest(corpus, cents, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"),
+        transform(col("v"), x => floor(x * 1000).cast("long")).as("cv"),
+        col("list_id"))
+      .withColumn("cn", dotQ(col("cv"), col("cv")))
+    val qv = queries.select(col(idCol), transform(col(vecCol), _.cast("double")).as("v"))
+    val qProbes = qv.crossJoin(broadcast(cents))
+      .withColumn("__d",
+        aggregate(zip_with(col("v"), col("c"), (a, b) => (a - b) * (a - b)),
+          lit(0.0d), (acc, x) => acc + x))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(idCol).orderBy(col("__d"), col("list_id"))))
+      .where(col("__rn") <= nprobe)
+      .select(col(idCol).as("query_id"),
+        transform(col("v"), x => floor(x * 1000).cast("long")).as("qv"),
+        col("list_id"))
+      .withColumn("qn", dotQ(col("qv"), col("qv")))
+    val sim = dotQ(col("qv"), col("cv")).cast("double") /
+      (sqrt(col("qn").cast("double")) * sqrt(col("cn").cast("double")))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("neighbor_id"))
+    broadcast(qProbes).join(lists, Seq("list_id"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(sim, 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
   /** Bucketed ANN: exact cosine only within colliding LSH buckets, then
     * top-k — the 100 TB plan (per-bucket joins instead of a cross product).
     *

@@ -284,6 +284,27 @@ class LakeTableSpec extends AnyFunSuite {
     assert(t4.read().where($"text" === "post-migration").count() == 5)
   }
 
+  test("salted writes spread a hot conversation across writer tasks") {
+    // 90% of events hit ONE conversation = one bucket. Without salt the
+    // bucket's delta is written by a single task; with salt=4 the shuffle
+    // key (b, salt) fans it out — visible as multiple files for that bucket
+    // from one epoch. Structural evidence (file counts), not flaky timings.
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // no small-batch coalesce
+    try {
+      val hotWal = TranscriptWal.synthetic(spark, 4000, 4, hotConvShare = 0.9)
+      def hotFiles(salt: Int): Int = {
+        val t = new LakeTable(spark,
+          Files.createTempDirectory("skew").toString, numBuckets = 8,
+          writeSalt = salt)
+        t.merge(hotWal, "t", 1)
+        val hotBucket = LakeTable.bucketOf("hot", 8)
+        t.currentSnapshot.get.buckets(hotBucket).deltas.size
+      }
+      assert(hotFiles(salt = 1) == 1, "unsalted: hot bucket = one writer task")
+      assert(hotFiles(salt = 4) >= 3, "salted: hot bucket spread across tasks")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("lineage metrics accumulate in snapshots") {
     val t = freshTable()
     val wal = TranscriptWal.synthetic(spark, 200, 5, deleteFraction = 0.2)

@@ -169,4 +169,21 @@ class NewOpsSpec extends AnyFunSuite {
     bad(24) = 0; bad(25) = 0; bad(26) = 0; bad(27) = 0
     assert(RealCodec.decode(2L, bad).isEmpty)
   }
+
+  test("IVF ANN: nprobe=nlist equals brute force; fewer probes trade recall") {
+    import graft.ops.SimilarityOps
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.where($"vec_id" < 15)
+    val brute = SimilarityOps.bruteForceTopK(e, q, k = 3)
+      .select("query_id", "neighbor_id").collect().toSet
+    // probing EVERY list searches the whole corpus -> identical top-k sets
+    val full = SimilarityOps.ivfTopK(e, q, k = 3, nlist = 8, nprobe = 8)
+      .select("query_id", "neighbor_id").collect().toSet
+    assert(full == brute, "nprobe=nlist must reduce to exact search")
+    val narrow = SimilarityOps.ivfTopK(e, q, k = 3, nlist = 8, nprobe = 2)
+      .select("query_id", "neighbor_id").collect().toSet
+    val recall = (narrow intersect brute).size.toDouble / brute.size
+    assert(recall > 0.3, s"narrow-probe recall $recall")
+    assert(narrow.size <= brute.size + 1)
+  }
 }

@@ -166,6 +166,50 @@ class StreamingSpec extends AnyFunSuite {
       "late events must not reach the table")
   }
 
+  test("streaming event-time session_window aggregates with watermark") {
+    import org.apache.spark.sql.streaming.Trigger
+    val work = Files.createTempDirectory("sess").toString
+    val wal = TranscriptWal.synthetic(spark, 400, 6).cache()
+    wal.coalesce(1).write.mode("append").parquet(s"$work/wal")
+    val outDir = s"$work/out"
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(graft.model.Schemas.changeEvent)
+        .parquet(s"$work/wal")
+        .withWatermark("ts", "1 hour")
+        .groupBy($"conv_id", session_window($"ts", "10 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select($"conv_id", $"session_window.start".as("w_start"), $"n")
+        .writeStream
+        .option("checkpointLocation", s"$work/cp")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          b.write.mode("append").parquet(outDir); ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    // Append mode emits a session only once the WATERMARK passes its end —
+    // a "flush" event 2h past everything advances it, and the state store
+    // (restored from the checkpoint) emits all closed sessions on run 2.
+    val maxTs = wal.agg(max($"ts")).collect()(0).getTimestamp(0)
+    val flushTs = new java.sql.Timestamp(maxTs.getTime + 2 * 3600 * 1000L)
+    Seq(("U", 99999999L, flushTs, "flushconv", 0, "user", "flush", null: String, flushTs))
+      .toDF("op", "lsn", "commit_ts", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+      .coalesce(1).write.mode("append").parquet(s"$work/wal")
+    runOnce()
+
+    val got = spark.read.parquet(outDir)
+    val expected = wal.groupBy($"conv_id", session_window($"ts", "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select($"conv_id", $"session_window.start".as("w_start"), $"n")
+    assert(got.count() > 0)
+    assert(got.exceptAll(expected).count() == 0 &&
+      expected.exceptAll(got).count() == 0,
+      "emitted sessions equal the batch session_window computation")
+  }
+
   test("duplicate WAL file content does not double-apply rows") {
     val (walDir, conf) = workDirs()
     val wal = TranscriptWal.synthetic(spark, 300, 5).cache()
