@@ -390,20 +390,24 @@ final class LakeTable(val spark: SparkSession, val path: String,
     * scans ONLY that bucket's files — at 4096 buckets a conversation lookup
     * reads ~1/4096 of the table. Same arbitration semantics as [[read]].
     */
-  def readConv(convId: String): DataFrame = currentSnapshot match {
+  def readConv(convId: String): DataFrame = readConvs(Seq(convId))
+
+  /** Bucket-pruned multi-key lookup: scans only the union of the keys'
+    * buckets (computed driver-side with the writer's hash — parity pinned by
+    * a test), arbitrating only if one of them carries deltas. An IN-list of
+    * k conversations costs ≤ k/numBuckets of the table.
+    */
+  def readConvs(convIds: Seq[String]): DataFrame = currentSnapshot match {
     case None => spark.emptyDataFrame
     case Some(s) =>
       checkBuckets(s)
-      // Same hash family the writer's `xxhash64` Column uses (XXH64, seed 42,
-      // UTF-8 bytes), evaluated driver-side — a point lookup must not launch
-      // a Spark job to hash one literal. Parity with the writer expression is
-      // pinned by a test (LakeTableSpec "readConv bucket hash").
-      val bucket = LakeTable.bucketOf(convId, numBuckets)
-      val st = s.buckets.getOrElse(bucket, BucketState(Nil, Nil))
+      val states = convIds.map(c => LakeTable.bucketOf(c, numBuckets)).distinct
+        .map(b => s.buckets.getOrElse(b, BucketState(Nil, Nil)))
       val schema = fileSchema(s.schema)
-      val rows = scanFiles(st.allFiles, schema).where(col("conv_id") === convId)
+      val rows = scanFiles(states.flatMap(_.allFiles), schema)
+        .where(col("conv_id").isin(convIds: _*))
       val arb =
-        if (st.deltas.isEmpty) rows
+        if (states.forall(_.deltas.isEmpty)) rows
         else arbitrate(rows.withColumn("__pri", lit(0)), s.schema)
       arb.where(col("op") =!= "D").drop("op", "_lsn")
   }

@@ -99,6 +99,18 @@ class CoverageOpsSpec extends AnyFunSuite {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("readConvs multi-key pruned lookup equals full-read IN filter") {
+    val t = new graft.lake.LakeTable(spark,
+      java.nio.file.Files.createTempDirectory("multi").toString, 8)
+    t.merge(graft.wal.TranscriptWal.synthetic(spark, 800, 20), "t", 1)
+    val keys = Seq("c3", "c7", "c11", "nope")
+    val pruned = t.readConvs(keys).select("conv_id", "turn_idx", "text")
+    val full = t.read().where($"conv_id".isin(keys: _*))
+      .select("conv_id", "turn_idx", "text")
+    assert(pruned.exceptAll(full).count() == 0 && full.exceptAll(pruned).count() == 0)
+    assert(pruned.select("conv_id").distinct().count() == 3)
+  }
+
   test("readConv bucket-pruned lookup equals full-read filter") {
     val t = new LakeTable(spark, Files.createTempDirectory("prune").toString, 8)
     val wal = TranscriptWal.synthetic(spark, 400, 10, deleteFraction = 0.1)

@@ -69,4 +69,26 @@ class ReplayPropertySpec extends AnyFunSuite {
     val got = t.read().select("conv_id", "turn_idx", "text")
     assert(got.exceptAll(exp).count() == 0 && exp.exceptAll(got).count() == 0)
   }
+
+  test("maintenance (compaction + tombstone GC + vacuum) never changes state") {
+    val cutsGen = Gen.listOfN(2, Gen.choose(0L, 400L))
+    (1L to 4L).foreach { seed =>
+      val cuts = sample(cutsGen, seed)
+      val t = new LakeTable(spark, Files.createTempDirectory("gc").toString, 4)
+      val bounds = (Long.MinValue +: cuts.sorted :+ Long.MaxValue).distinct
+      bounds.sliding(2).zipWithIndex.foreach {
+        case (Seq(lo, hi), i) =>
+          t.merge(walDf.where($"lsn" >= lo && $"lsn" < hi), "p", i.toLong)
+          // interleave maintenance between arbitrary epochs
+          if (i % 2 == 1) {
+            t.compactAll(dropTombstonesBelowLsn = Some(hi))
+            t.vacuum(keepSnapshots = 1)
+          }
+        case _ =>
+      }
+      t.compactAll(dropTombstonesBelowLsn = Some(Long.MaxValue))
+      t.vacuum(keepSnapshots = 1)
+      assertMatchesOracle(t.read().select("conv_id", "turn_idx", "text"))
+    }
+  }
 }
