@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.model.IngestConfig
+import graft.stream.CdcIngestJob
+
+/** spark-submit entrypoint: `spark-submit --class graft.Main <jar> ingest
+  * --wal DIR --table DIR --checkpoint DIR [--buckets N] [--watermark '1 hour']
+  * [--sanitize] [--drop-boilerplate] [--once]`
+  *
+  * Also: `compact --table DIR [--gc-below-lsn N]`, `vacuum --table DIR
+  * [--keep N]`, `rebucket --table DIR --target DIR --buckets N`.
+  * The session comes from spark-submit (master/executors configured there);
+  * local runs default to local[*].
+  */
+object Main {
+
+  private def parseArgs(args: Seq[String]): Map[String, String] = {
+    @annotation.tailrec
+    def loop(rest: List[String], acc: Map[String, String]): Map[String, String] =
+      rest match {
+        case Nil => acc
+        case flag :: tail if flag.startsWith("--") =>
+          tail match {
+            case v :: t2 if !v.startsWith("--") => loop(t2, acc + (flag.drop(2) -> v))
+            case _ => loop(tail, acc + (flag.drop(2) -> "true"))
+          }
+        case _ :: tail => loop(tail, acc)
+      }
+    loop(args.toList, Map.empty)
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: ingest|compact|vacuum|rebucket [--flags]")
+    val cmd = args(0)
+    val a = parseArgs(args.drop(1).toSeq)
+    def req(k: String): String =
+      a.getOrElse(k, sys.error(s"missing required flag --$k"))
+
+    val builder = SparkSession.builder()
+      .appName(s"graft-$cmd")
+      .config("spark.sql.session.timeZone", "UTC")
+    // spark-submit provides spark.master; bare JVM runs fall back to local
+    if (!sys.props.contains("spark.master")) builder.master("local[*]")
+    val spark = builder.getOrCreate()
+
+    try cmd match {
+      case "ingest" =>
+        val conf = IngestConfig(
+          tablePath = req("table"),
+          checkpointPath = req("checkpoint"),
+          numBuckets = a.getOrElse("buckets", "64").toInt,
+          watermarkDelay = a.getOrElse("watermark", "1 hour"),
+          enforceWatermark = !a.contains("no-watermark"),
+          sanitize = a.contains("sanitize"),
+          flagBoilerplate = a.contains("drop-boilerplate"),
+          maxFilesPerTrigger = a.getOrElse("max-files-per-trigger", "8").toInt)
+        val (q, metrics) = CdcIngestJob.startWithMetrics(spark, req("wal"), conf)
+        q.awaitTermination()
+        println(s"""{"eventsApplied":${metrics.eventsApplied},"lateDrops":${metrics.lateDrops}}""")
+      case "compact" =>
+        val t = graft.lake.LakeTable.open(spark, req("table"))
+        t.compactAll(a.get("gc-below-lsn").map(_.toLong))
+        println(s"""{"compacted":true,"version":${t.latestVersion.getOrElse(-1L)}}""")
+      case "vacuum" =>
+        val t = graft.lake.LakeTable.open(spark, req("table"))
+        val (snaps, files) = t.vacuum(a.getOrElse("keep", "1").toInt)
+        println(s"""{"snapshotsDeleted":$snaps,"dataFilesDeleted":$files}""")
+      case "rebucket" =>
+        val t = graft.lake.LakeTable.open(spark, req("table"))
+        val target = t.rebucket(req("target"), req("new-buckets").toInt)
+        println(s"""{"rebucketed":true,"target":"${target.path}","numBuckets":${target.numBuckets}}""")
+      case other => sys.error(s"unknown command: $other")
+    } finally spark.stop()
+  }
+}

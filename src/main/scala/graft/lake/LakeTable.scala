@@ -502,6 +502,18 @@ final class LakeTable(val spark: SparkSession, val path: String,
 }
 
 object LakeTable {
+  /** Open an EXISTING table with the bucket count recorded in its latest
+    * snapshot (the probe instance never reads data, so no layout check
+    * fires). New tables are created via the constructor with an explicit
+    * count.
+    */
+  def open(spark: SparkSession, path: String,
+           maxDeltasPerBucket: Int = 4, writeSalt: Int = 4): LakeTable = {
+    val probe = new LakeTable(spark, path)
+    val nb = probe.currentSnapshot.map(_.numBuckets).getOrElse(64)
+    new LakeTable(spark, path, nb, maxDeltasPerBucket, writeSalt)
+  }
+
   /** Driver-side twin of the writer's bucket expression
     * `pmod(xxhash64(conv_id), numBuckets)`: Spark's `xxhash64` is XXH64 over
     * UTF-8 bytes with seed 42. Must stay in lockstep with [[LakeTable!.readConv]].
