@@ -7,10 +7,12 @@ import graft.stream.CdcIngestJob
 
 /** spark-submit entrypoint: `spark-submit --class graft.Main <jar> ingest
   * --wal DIR --table DIR --checkpoint DIR [--buckets N] [--watermark '1 hour']
-  * [--sanitize] [--drop-boilerplate] [--once]`
+  * [--sanitize] [--drop-boilerplate] [--max-files-per-trigger N]
+  * [--no-watermark]`
   *
   * Also: `compact --table DIR [--gc-below-lsn N]`, `vacuum --table DIR
   * [--keep N]`, `rebucket --table DIR --target DIR --buckets N`.
+  * Every documented flag is exercised by the CLI smoke test (MainSpec).
   * The session comes from spark-submit (master/executors configured there);
   * local runs default to local[*].
   */
@@ -38,6 +40,10 @@ object Main {
     def req(k: String): String =
       a.getOrElse(k, sys.error(s"missing required flag --$k"))
 
+    // Embedded use (tests, notebooks) must not have its session torn down by
+    // a CLI call — only stop a session this entrypoint itself created.
+    val preExisting = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession).isDefined
     val builder = SparkSession.builder()
       .appName(s"graft-$cmd")
       .config("spark.sql.session.timeZone", "UTC")
@@ -65,13 +71,16 @@ object Main {
         println(s"""{"compacted":true,"version":${t.latestVersion.getOrElse(-1L)}}""")
       case "vacuum" =>
         val t = graft.lake.LakeTable.open(spark, req("table"))
-        val (snaps, files) = t.vacuum(a.getOrElse("keep", "1").toInt)
+        val (snaps, files) = t.vacuum(a.getOrElse("keep", "2").toInt)
         println(s"""{"snapshotsDeleted":$snaps,"dataFilesDeleted":$files}""")
       case "rebucket" =>
         val t = graft.lake.LakeTable.open(spark, req("table"))
-        val target = t.rebucket(req("target"), req("new-buckets").toInt)
+        // --buckets is the documented flag; --new-buckets kept as an alias
+        val nb = a.get("buckets").orElse(a.get("new-buckets"))
+          .getOrElse(sys.error("missing required flag --buckets")).toInt
+        val target = t.rebucket(req("target"), nb)
         println(s"""{"rebucketed":true,"target":"${target.path}","numBuckets":${target.numBuckets}}""")
       case other => sys.error(s"unknown command: $other")
-    } finally spark.stop()
+    } finally if (!preExisting) spark.stop()
   }
 }

@@ -1,12 +1,18 @@
 package graft.lake
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
+
+/** Raised when two writers race to publish the same snapshot version: the
+  * loser's merge is NOT applied (its data files are unreferenced orphans,
+  * reclaimed by [[LakeTable.vacuum]]); it should re-read the table and retry.
+  */
+final class CommitConflictException(msg: String) extends RuntimeException(msg)
 
 /** GraftLake — a from-scratch, snapshot-based, hash-bucketed parquet table
   * format with single-writer ACID semantics and **merge-on-read** deltas,
@@ -37,7 +43,7 @@ import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
   * {{{
   *   table/
   *     snapshots/v0000000012.json       // atomic-renamed; readers take max
-  *     data/e0000000012/b=17/part-*.parquet   // delta OR compacted base
+  *     data/e0000000012-4f1a9c2b/b=17/part-*.parquet  // delta OR compacted base
   * }}}
   *
   * Data files persist `op` ('U' rows and 'D' tombstones) and `_lsn` (the
@@ -54,7 +60,12 @@ final class LakeTable(val spark: SparkSession, val path: String,
                         * task. Salting by `pmod(xxhash64(lsn), salt)` spreads
                         * it across `salt` writer tasks; `partitionBy(b)`
                         * still lands files in the right bucket dir. */
-                      val writeSalt: Int = 4) {
+                      val writeSalt: Int = 4,
+                      /** Parquet codec for all table writes. zstd: ~30%
+                        * smaller files than snappy at similar read cost —
+                        * at 100 TB the scan is I/O-bound, so bytes saved are
+                        * time saved; the write pays a little more CPU. */
+                      val compression: String = "zstd") {
 
   private val mapper = new ObjectMapper()
   private val snapDir = Paths.get(path, "snapshots")
@@ -121,11 +132,24 @@ final class LakeTable(val spark: SparkSession, val path: String,
     val metrics = root.get("metrics").fields().asScala
       .map(e => e.getKey -> e.getValue.asLong).toMap
     val nb = Option(root.get("numBuckets")).map(_.asInt).getOrElse(numBuckets)
-    Snapshot(root.get("version").asLong, schema, buckets, epochs,
-      root.get("highWaterMicros").asLong, metrics, nb)
+    // Snapshot-format compatibility: tables written before the micros rename
+    // carry `highWaterMillis` — fall back (×1000) instead of NPE-ing the open.
+    val hw = Option(root.get("highWaterMicros")).map(_.asLong)
+      .orElse(Option(root.get("highWaterMillis")).map(_.asLong * 1000L))
+      .getOrElse(0L)
+    Snapshot(root.get("version").asLong, schema, buckets, epochs, hw, metrics, nb)
   }
 
-  private def writeSnapshot(s: Snapshot): Unit = {
+  /** Publish a snapshot with compare-and-swap semantics: the tmp file is
+    * HARD-LINKED to the final name, which on POSIX is atomic AND fails with
+    * `FileAlreadyExistsException` if the target exists — unlike rename(),
+    * which silently replaces it. Two writers racing to commit the same
+    * version therefore get one winner and one loud
+    * [[CommitConflictException]] (the loser re-reads the new snapshot and
+    * retries its merge), never a silently clobbered commit whose data files
+    * become unreferenced orphans. Package-private for the race test.
+    */
+  private[graft] def writeSnapshot(s: Snapshot): Unit = {
     val node = mapper.createObjectNode()
     node.put("version", s.version)
     node.put("schema", s.schema.json)
@@ -141,9 +165,16 @@ final class LakeTable(val spark: SparkSession, val path: String,
     node.put("numBuckets", s.numBuckets)
     val mn = node.putObject("metrics")
     s.metrics.foreach { case (k, v) => mn.put(k, v) }
-    val tmp = snapDir.resolve(s".v${s.version}.tmp")
+    // tmp name carries a nonce so two racing writers never collide on it
+    val tmp = snapDir.resolve(s".v${s.version}-${java.util.UUID.randomUUID()}.tmp")
     Files.writeString(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node))
-    Files.move(tmp, snapPath(s.version), StandardCopyOption.ATOMIC_MOVE)
+    try Files.createLink(snapPath(s.version), tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new CommitConflictException(
+          s"snapshot v${s.version} already committed by a concurrent writer " +
+            s"at $path — re-read the table and retry the merge")
+    } finally Files.deleteIfExists(tmp)
   }
 
   // ---- read path -----------------------------------------------------------
@@ -225,6 +256,12 @@ final class LakeTable(val spark: SparkSession, val path: String,
     * THEN DELETE / WHEN MATCHED AND s.lsn >= t._lsn THEN UPDATE / WHEN NOT
     * MATCHED THEN INSERT`, realized as delta append + read-side arbitration.
     * O(batch) write cost; compaction amortizes read amplification.
+    *
+    * Concurrency: optimistic. A concurrent committer of the same version
+    * raises [[CommitConflictException]] (snapshot publish is compare-and-
+    * swap); the caller retries the merge, which re-reads the new snapshot.
+    * The failed attempt's data files are unreferenced orphans — vacuum
+    * reclaims them.
     */
   def merge(batch: DataFrame, epochNs: String, epochId: Long): MergeResult = {
     val prev = currentSnapshot
@@ -277,7 +314,11 @@ final class LakeTable(val spark: SparkSession, val path: String,
 
     val version = prev.map(_.version + 1).getOrElse(1L)
     val carried: Map[Int, BucketState] = prev.map(_.buckets).getOrElse(Map.empty)
-    val rel = f"data/e$version%010d"
+    // Nonce in the data dir: two writers racing to the same version must not
+    // share a delta directory either — the snapshot CAS picks the winner, and
+    // the loser's files sit in their own dir as unreferenced orphans (vacuum
+    // reclaims them) instead of overwriting the winner's.
+    val rel = f"data/e$version%010d-${nonce()}"
 
     val obs = org.apache.spark.sql.Observation(s"merge-$version")
     val out = staged
@@ -291,7 +332,8 @@ final class LakeTable(val spark: SparkSession, val path: String,
       .repartition(col("b"), pmod(xxhash64(col("_lsn")), lit(writeSalt)))
       .drop("__hw")
     phased("delta-write")(
-      out.write.mode("overwrite").partitionBy("b").parquet(s"$path/$rel"))
+      out.write.mode("overwrite").option("compression", compression)
+        .partitionBy("b").parquet(s"$path/$rel"))
 
     // An all-filtered (empty) batch can constant-fold the CollectMetrics
     // node away — missing keys mean zero rows, not an error.
@@ -341,7 +383,10 @@ final class LakeTable(val spark: SparkSession, val path: String,
     }
   }
 
-  /** Distinct delta epochs in a bucket (file path = data/e<version>/b=<b>/…). */
+  private def nonce(): String =
+    java.util.UUID.randomUUID().toString.take(8)
+
+  /** Distinct delta epochs in a bucket (file path = data/e<ver>-<nonce>/b=<b>/…). */
   private def deltaEpochCount(st: BucketState): Int =
     st.deltas.map(_.split('/')(1)).distinct.size
 
@@ -375,11 +420,14 @@ final class LakeTable(val spark: SparkSession, val path: String,
     val arbitrated = arbitrate(rows, schema)
     val compacted = dropTombstonesBelowLsn.fold(arbitrated)(h =>
       arbitrated.where(!(col("op") === "D" && col("_lsn") < lit(h))))
-    val rel = f"data/e$version%010d-c"
+    val rel = f"data/e$version%010d-c-${nonce()}"
+    // Width from shuffle.partitions (data-sized config), NEVER the executor
+    // count: the physical file layout must not change when the cluster does.
+    val width = spark.sessionState.conf.numShufflePartitions
     compacted.withColumn("b", bucketExpr)
-      .repartition(math.min(targets.size, spark.sparkContext.defaultParallelism * 2),
-        col("b"))
-      .write.mode("overwrite").partitionBy("b").parquet(s"$path/$rel")
+      .repartition(math.min(targets.size, width), col("b"))
+      .write.mode("overwrite").option("compression", compression)
+      .partitionBy("b").parquet(s"$path/$rel")
     val newFiles = listBucketFiles(rel, targets)
     targets.foldLeft(buckets) { (acc, b) =>
       acc + (b -> BucketState(base = newFiles.getOrElse(b, Nil), deltas = Nil))
@@ -404,12 +452,22 @@ final class LakeTable(val spark: SparkSession, val path: String,
       val states = convIds.map(c => LakeTable.bucketOf(c, numBuckets)).distinct
         .map(b => s.buckets.getOrElse(b, BucketState(Nil, Nil)))
       val schema = fileSchema(s.schema)
-      val rows = scanFiles(states.flatMap(_.allFiles), schema)
-        .where(col("conv_id").isin(convIds: _*))
-      val arb =
-        if (states.forall(_.deltas.isEmpty)) rows
-        else arbitrate(rows.withColumn("__pri", lit(0)), s.schema)
-      arb.where(col("op") =!= "D").drop("op", "_lsn")
+      // Same per-bucket clean/dirty split as [[readWithLsn]]: a k-key lookup
+      // where one bucket carries a delta pays the arbitration window for THAT
+      // bucket only, never over all k buckets' rows.
+      val (dirty, clean) = states.partition(_.deltas.nonEmpty)
+      val outCols = (Seq("conv_id", "turn_idx", "op", "_lsn") ++
+        s.schema.fieldNames.filterNot(keyCols.contains)).map(col).toIndexedSeq
+      val keyFilter = col("conv_id").isin(convIds: _*)
+      val cleanPart = scanFiles(clean.flatMap(_.base), schema)
+        .where(keyFilter).select(outCols: _*)
+      val dirtyPart =
+        if (dirty.isEmpty) None
+        else Some(arbitrate(
+          scanFiles(dirty.flatMap(_.allFiles), schema).where(keyFilter)
+            .withColumn("__pri", lit(0)), s.schema))
+      dirtyPart.fold(cleanPart)(cleanPart.unionByName(_))
+        .where(col("op") =!= "D").drop("op", "_lsn")
   }
 
   /** Compact every bucket that has any deltas (maintenance entry point).
@@ -430,6 +488,14 @@ final class LakeTable(val spark: SparkSession, val path: String,
       }
     }
   }
+
+  /** SQL surface: register the merge-on-read live state as a temp view, so
+    * `spark.sql("SELECT ... FROM name WHERE conv_id = 'x'")` works — and the
+    * conv_id predicate still bucket-prunes via [[BucketPrune]] (the view is
+    * just the [[read]] plan). Re-call after new commits to see them (the view
+    * pins the snapshot it was created from — consistent-read semantics).
+    */
+  def asView(name: String): Unit = read().createOrReplaceTempView(name)
 
   /** Bucket-count migration: rewrite the live state (plus still-guarded
     * tombstones) into a NEW table at `newPath` with `newNumBuckets` — the
@@ -462,13 +528,19 @@ final class LakeTable(val spark: SparkSession, val path: String,
   /** Retention GC: delete snapshots older than the last `keepSnapshots` and
     * every data file none of the kept snapshots references — compaction
     * leftovers AND orphans from crashed writes (files that never made it into
-    * any snapshot). Single-writer semantics: time-travel back past the kept
-    * window is traded for bounded storage; at 10^10 events superseded bases
-    * dominate table bytes without this.
+    * any snapshot). At 10^10 events superseded bases dominate table bytes
+    * without this.
+    *
+    * RETENTION CONTRACT: a reader that resolved snapshot v may still be
+    * scanning v's files after v+1 commits — `keepSnapshots` is the number of
+    * trailing snapshots whose files stay physically present, i.e. the window
+    * in which an in-flight read is safe from deletion. The default of 2
+    * protects reads concurrent with one commit; pass 1 only when no reader
+    * can be in flight (tests, single-process maintenance).
     *
     * @return (snapshotsDeleted, dataFilesDeleted)
     */
-  def vacuum(keepSnapshots: Int = 1): (Int, Int) = latestVersion match {
+  def vacuum(keepSnapshots: Int = 2): (Int, Int) = latestVersion match {
     case None => (0, 0)
     case Some(latest) =>
       val keepVersions = listDir(snapDir)

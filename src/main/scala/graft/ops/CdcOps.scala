@@ -122,20 +122,31 @@ object CdcOps {
     * back onto the stream — the big side is never shuffled twice.
     */
   def flagBoilerplate(df: DataFrame, minConvs: Int = 3): DataFrame = {
-    val fp = xxhash64(col("text"))
+    // 128-bit fingerprint = (xxhash64, md5): at the 10^10-row design point
+    // the 64-bit birthday bound (~4×10^9) makes an xxhash64 collision
+    // EXPECTED — and a collision here silently marks an innocent turn as
+    // boilerplate (the ingest pipeline then DROPS it). The pair pushes the
+    // bound past 2^95. Grouping still shuffles hashes (40 bytes), never text.
+    // Null text is excluded outright: xxhash64(null) collapses to the seed,
+    // which would pool all null-text rows into one "boilerplate" fingerprint.
+    val fp1 = xxhash64(col("text"))
+    val fp2 = md5(col("text"))
     // EXACT distinct-conv count: the contract is a hard threshold, and HLL's
     // ~5% default error flips rows sitting at the boundary. The expand is one
     // extra partial-agg pass over (fp, conv_id) pairs — cheap next to a wrong
     // answer. No broadcast hint: the boilerplate set is corpus-dependent
     // (adversarial corpora make it huge); AQE picks broadcast when it fits.
     val boiler = df
-      .groupBy(fp.as("__fp"))
+      .where(col("text").isNotNull)
+      .groupBy(fp1.as("__fp1"), fp2.as("__fp2"))
       .agg(countDistinct(col("conv_id")).as("__nc"))
       .where(col("__nc") >= minConvs)
-      .select("__fp")
-    df.join(boiler, fp === boiler("__fp"), "left")
-      .withColumn("is_boilerplate", col("__fp").isNotNull)
-      .drop("__fp")
+      .select("__fp1", "__fp2")
+    df.join(boiler,
+        col("text").isNotNull && fp1 === boiler("__fp1") && fp2 === boiler("__fp2"),
+        "left")
+      .withColumn("is_boilerplate", col("__fp1").isNotNull)
+      .drop("__fp1", "__fp2")
   }
 
   /** W1–W4 kernel — generic sessionization: a boundary predicate over
@@ -156,9 +167,13 @@ object CdcOps {
 
   /** W4 — multi-pass boundary cascade folded into ONE window pass: the
     * reference's paragraph merge applies 8 boundary predicates in sequence
-    * (ParagraphProcessor.java:44-53, each pass re-walking the list); since
-    * every pass only ADDs boundaries, the cascade is equivalent to a single
-    * pass with the OR of all predicates — one shuffle instead of eight.
+    * (ParagraphProcessor.java:44-53, each pass re-walking the list). For
+    * ROW-LOCAL predicates (each pass reads only the adjacent original rows,
+    * as all the predicates here do) every pass only ADDs boundaries, so the
+    * cascade equals a single pass with the OR of all predicates — one
+    * shuffle instead of eight. A predicate over pass k−1's MERGED blocks
+    * (the reference's literal recursion) is not in this class; use repeated
+    * [[sessionize]] passes for that shape.
     */
   def sessionizeCascade(df: DataFrame, orderCol: String,
                         boundaries: Seq[(Column, Column) => Column],

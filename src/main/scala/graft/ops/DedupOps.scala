@@ -21,9 +21,15 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
-  /** Exact dedup: keep the min-id row per identical text. */
+  /** Exact dedup: keep the min-id row per identical text. Partitioned by a
+    * 128-bit (xxhash64, md5) fingerprint pair, not xxhash64 alone: at 10^10
+    * docs a 64-bit collision is expected (birthday ~4×10^9) and would delete
+    * a DISTINCT document; the pair pushes the bound past 2^95. The shuffle
+    * still carries hashes, never the text as a key.
+    */
   def exact(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val w = Window.partitionBy(xxhash64(col(textCol))).orderBy(col(idCol))
+    val w = Window.partitionBy(xxhash64(col(textCol)), md5(col(textCol)))
+      .orderBy(col(idCol))
     df.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn")
   }

@@ -37,10 +37,14 @@ object CdcIngestJob {
         expr(s"INTERVAL '${conf.watermarkDelay}'"))
     if (conf.sanitize) df = CdcOps.sanitize(df)
     if (conf.flagBoilerplate)
-      // drop cross-conversation boilerplate turns before they reach the lake
-      // (reference: header/footer rows never enter the content stream)
+      // Drop cross-conversation boilerplate turns before they reach the lake
+      // (reference: header/footer rows never enter the content stream).
+      // UPSERTS ONLY: a 'D' tombstone often carries the before-image — and
+      // boilerplate turns are exactly the ones most likely deleted — so
+      // filtering deletes by their text would silently drop the tombstone
+      // and leave the target row live (delete loss / resurrection).
       df = CdcOps.flagBoilerplate(df)
-        .where(!org.apache.spark.sql.functions.col("is_boilerplate"))
+        .where(col("op") === "D" || !col("is_boilerplate"))
         .drop("is_boilerplate")
     df
   }

@@ -50,7 +50,7 @@ object PlanReview {
       graft.stream.CdcIngestJob.pipeline(
         TranscriptWal.fromEvents(spark, sf),
         graft.model.IngestConfig(s"$work/t2", s"$work/cp2", sanitize = true),
-        highWaterMicros = 1704067200000L))
+        highWaterMicros = 1704067200000000L)) // 2024-01-01 in MICROseconds
     // 5. Broadcast join chain
     show("q_join_nation_rev (broadcast chain)")(
       graft.SparkEntry.queries("q_join_nation_rev")(spark, sf))

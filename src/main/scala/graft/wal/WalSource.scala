@@ -45,13 +45,25 @@ object WalSource {
     (clean, corrupt)
   }
 
-  /** Streaming variant for the ingest job (same policy, readStream). */
-  def readJsonStream(spark: SparkSession, dir: String): DataFrame =
+  /** Streaming variant for the ingest job (same warn-and-continue policy as
+    * the batch path): corrupt rows are COUNTED before the filter via a named
+    * observation — it rides the streaming plan itself (not a foreachBatch
+    * frame), so every batch's `corrupt_records`/`clean_records` reach
+    * `StreamingQueryProgress.observedMetrics` and [[graft.stream.MetricsListener]].
+    */
+  def readJsonStream(spark: SparkSession, dir: String): DataFrame = {
+    val bad = col(corruptCol).isNotNull ||
+      col("op").isNull || col("lsn").isNull ||
+      col("conv_id").isNull || col("turn_idx").isNull
     spark.readStream
       .schema(schemaWithCorrupt)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", corruptCol)
       .json(dir)
-      .where(col(corruptCol).isNull && col("op").isNotNull && col("lsn").isNotNull)
+      .observe("wal_source_stream",
+        count(when(bad, 1)).as("corrupt_records"),
+        count(when(!bad, 1)).as("clean_records"))
+      .where(!bad)
       .drop(corruptCol)
+  }
 }

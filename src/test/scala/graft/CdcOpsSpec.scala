@@ -137,4 +137,27 @@ class CdcOpsSpec extends AnyFunSuite {
     assert(out.count() == 5)
     assert(out.where($"text" === "PLEASE RATE THIS CHAT").count() == 0)
   }
+
+  test("boilerplate drop never eats tombstones or null-text rows") {
+    import graft.model.IngestConfig
+    def ts(i: Int) = new java.sql.Timestamp(1704067200000L + i * 1000L)
+    // boilerplate text lives in 20 convs; one DELETE carries the same text
+    // as its before-image — dropping it would resurrect the target row
+    val boiler = (0 until 20).map(i => ("U", 1000L + i, ts(i), s"c$i", 0,
+      "assistant", "PLEASE RATE THIS CHAT", null: String, ts(i)))
+    val del = Seq(("D", 3000L, ts(99), "c0", 0,
+      "assistant", "PLEASE RATE THIS CHAT", null: String, ts(99)))
+    // null-text rows span many convs: xxhash64(null) collapses to the seed,
+    // so a naive fingerprint would pool them into one "boilerplate" group
+    val nulls = (0 until 5).map(i => ("U", 4000L + i, ts(i), s"c$i", 2,
+      "user", null: String, null: String, ts(i)))
+    val df = (boiler ++ del ++ nulls)
+      .toDF("op", "lsn", "commit_ts", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val conf = IngestConfig(tablePath = "/tmp/x", checkpointPath = "/tmp/y",
+      enforceWatermark = false, flagBoilerplate = true)
+    val out = graft.stream.CdcIngestJob.pipeline(df, conf, 0L)
+    assert(out.where($"op" === "D").count() == 1, "tombstone survives the filter")
+    assert(out.where($"text".isNull).count() == 5, "null-text rows never flagged")
+    assert(out.where($"op" === "U" && $"text" === "PLEASE RATE THIS CHAT").count() == 0)
+  }
 }

@@ -305,6 +305,125 @@ class LakeTableSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("snapshot publish is CAS: same-version double-commit raises, winner intact") {
+    val t = freshTable()
+    t.merge(TranscriptWal.synthetic(spark, 100, 4), "t", 1)
+    val s = t.currentSnapshot.get
+    // two writers that both computed version N+1: first publish wins…
+    val winner = s.copy(version = s.version + 1,
+      metrics = s.metrics + ("winner" -> 1L))
+    t.writeSnapshot(winner)
+    // …second MUST fail loudly (never a silent rename-over)
+    val loser = s.copy(version = s.version + 1,
+      metrics = s.metrics + ("winner" -> 2L))
+    intercept[graft.lake.CommitConflictException] { t.writeSnapshot(loser) }
+    assert(t.currentSnapshot.get.metrics("winner") == 1L, "winner's commit intact")
+  }
+
+  test("two concurrent writers with retry-on-conflict lose no commit") {
+    val path = Files.createTempDirectory("lake").toString
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    val conflicts = new java.util.concurrent.atomic.AtomicInteger(0)
+    def writer(ns: String): Runnable = () => {
+      val t = new LakeTable(spark, path, numBuckets = 8)
+      start.await()
+      (1 to 4).foreach { e =>
+        val batch = TranscriptWal.synthetic(spark, 50, 3, lsnOffset = e * 100000L)
+          .withColumn("conv_id", concat(lit(ns + "-"), $"conv_id"))
+        var done = false
+        while (!done) {
+          try { t.merge(batch, ns, e); done = true }
+          catch { case _: graft.lake.CommitConflictException => conflicts.incrementAndGet() }
+        }
+      }
+    }
+    val f1 = pool.submit(writer("w1")); val f2 = pool.submit(writer("w2"))
+    start.countDown()
+    f1.get(300, TimeUnit.SECONDS); f2.get(300, TimeUnit.SECONDS)
+    pool.shutdown()
+    val t = new LakeTable(spark, path, numBuckets = 8)
+    val snap = t.currentSnapshot.get
+    // every epoch of BOTH writers committed — no silent clobber
+    assert(snap.committedEpochs.get("w1").contains(4L))
+    assert(snap.committedEpochs.get("w2").contains(4L))
+    assert(t.read().where($"conv_id".startsWith("w1-")).count() > 0)
+    assert(t.read().where($"conv_id".startsWith("w2-")).count() > 0)
+    // version log is gapless despite any conflicts
+    assert(snap.version == 8L)
+  }
+
+  test("legacy highWaterMillis snapshots open via the micros fallback") {
+    val t = freshTable()
+    t.merge(TranscriptWal.synthetic(spark, 100, 4), "t", 1)
+    val hwMicros = t.currentSnapshot.get.highWaterMicros
+    assert(hwMicros > 0)
+    val snapFile = java.nio.file.Paths.get(t.path, "snapshots")
+    val latest = Files.list(snapFile).iterator().next()
+    val legacy = Files.readString(latest)
+      .replace("\"highWaterMicros\" : " + hwMicros,
+        "\"highWaterMillis\" : " + (hwMicros / 1000L))
+    Files.writeString(latest, legacy)
+    val reopened = LakeTable.open(spark, t.path)
+    assert(reopened.currentSnapshot.get.highWaterMicros == (hwMicros / 1000L) * 1000L)
+  }
+
+  test("table files are written with the configured codec (zstd default)") {
+    val t = freshTable()
+    t.merge(TranscriptWal.synthetic(spark, 200, 5), "t", 1)
+    val files = t.currentSnapshot.get.buckets.values.flatMap(_.allFiles)
+    assert(files.nonEmpty && files.forall(_.endsWith(".zstd.parquet")))
+    t.compactAll()
+    val compacted = t.currentSnapshot.get.buckets.values.flatMap(_.allFiles)
+    assert(compacted.forall(_.endsWith(".zstd.parquet")))
+  }
+
+  test("asView registers the MOR state for SQL access") {
+    val t = freshTable()
+    val wal = TranscriptWal.synthetic(spark, 300, 6)
+    t.merge(wal, "t", 1)
+    t.asView("graft_state")
+    val viaSql = spark.sql(
+      "SELECT conv_id, count(*) AS n FROM graft_state GROUP BY conv_id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaApi = t.read().groupBy("conv_id").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaSql == viaApi && viaSql.nonEmpty)
+  }
+
+  test("multi-key lookup arbitrates only the dirty bucket's rows") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val t = freshTable(buckets = 8)
+    val wal = TranscriptWal.synthetic(spark, 800, 20)
+    t.merge(wal, "t", 1)
+    t.compactAll()
+    // dirty exactly one conversation's bucket
+    val delta = wal.where($"conv_id" === "c3").withColumn("lsn", $"lsn" + 1000000L)
+      .withColumn("text", lit("dirtied"))
+    t.merge(delta, "t", 2)
+    // pick a second key living in a CLEAN bucket
+    val cleanKey = (0 until 20).map(i => s"c$i").find(c =>
+      c != "c3" && LakeTable.bucketOf(c, 8) != LakeTable.bucketOf("c3", 8)).get
+    val snap = t.currentSnapshot.get
+    val dirtyFiles = snap.buckets.values.filter(_.deltas.nonEmpty)
+      .flatMap(_.allFiles).toSet
+    val lookup = t.readConvs(Seq("c3", cleanKey))
+    val lp = lookup.queryExecution.optimizedPlan
+    val windows = lp.collect { case w: LWindow => w }
+    assert(windows.size == 1)
+    val windowFiles = windows.head.collect {
+      case LogicalRelation(rel: HadoopFsRelation, _, _, _, _) => rel.location.inputFiles.toSeq
+    }.flatten.map(f => f.substring(f.indexOf("data/"))).toSet
+    assert(windowFiles == dirtyFiles, "window scoped to the dirty bucket only")
+    // correctness: equals the filtered full read
+    val expect = t.read().where($"conv_id".isin("c3", cleanKey))
+      .collect().map(_.toString).sorted.toSeq
+    val got = lookup.collect().map(_.toString).sorted.toSeq
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("lineage metrics accumulate in snapshots") {
     val t = freshTable()
     val wal = TranscriptWal.synthetic(spark, 200, 5, deleteFraction = 0.2)

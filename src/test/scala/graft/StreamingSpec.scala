@@ -210,6 +210,43 @@ class StreamingSpec extends AnyFunSuite {
       "emitted sessions equal the batch session_window computation")
   }
 
+  test("streaming WAL source counts corrupt records (warn-and-continue)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val work = Files.createTempDirectory("corrupt-stream").toString
+    val walDir = s"$work/wal"
+    val good = TranscriptWal.synthetic(spark, 120, 4).where($"lsn" < 100)
+    val nGood = good.count()
+    good.coalesce(1).write.mode("overwrite").json(walDir)
+    val bad = Seq("{broken json", """{"op":"U"}""", """{"lsn":7}""")
+    Files.write(java.nio.file.Paths.get(s"$walDir/zz-corrupt.json"),
+      bad.mkString("\n").getBytes)
+
+    val listener = new graft.stream.MetricsListener
+    spark.streams.addListener(listener)
+    try {
+      val q = graft.wal.WalSource.readJsonStream(spark, walDir)
+        .writeStream
+        .queryName("ws_clean")
+        .format("memory")
+        .option("checkpointLocation", s"$work/cp")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // listener events are async — give the bus a moment to drain
+      def observedSum(field: String): Long = listener.batches
+        .flatMap(_.observed.get("wal_source_stream"))
+        .map(_.getOrElse(field, 0L).asInstanceOf[Long]).sum
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (observedSum("corrupt_records") < bad.size && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      assert(observedSum("corrupt_records") == bad.size,
+        s"planted ${bad.size} corrupt rows, observed ${observedSum("corrupt_records")}")
+      assert(observedSum("clean_records") == nGood)
+      assert(spark.table("ws_clean").count() == nGood,
+        "clean rows pass through, corrupt rows are filtered")
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("duplicate WAL file content does not double-apply rows") {
     val (walDir, conf) = workDirs()
     val wal = TranscriptWal.synthetic(spark, 300, 5).cache()
