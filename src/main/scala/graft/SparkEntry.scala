@@ -346,13 +346,17 @@ object SparkEntry {
     }),
 
     // MinHash+LSH near-dup pipeline on an augmented corpus (plants true
-    // near-copies) → LSH candidates → exact Jaccard verify. Rows-only check
-    // (signatures are xxhash64-based; no SQL oracle).
+    // near-copies) → LSH candidates → exact Jaccard verify, filtered to the
+    // planted pairs. HARD-ORACLED: DuckDB recomputes each planted pair's
+    // exact shingle-set Jaccard, so LSH recall on J≥0.5 pairs is a
+    // correctness gate, not a rows-only check. bands=16 (r=2) makes the
+    // miss probability at the corpus's minimum planted J (0.8, measured at
+    // every SF) ~1e-7 per pair — deterministic-green, not luck.
     "q_near_dup_lsh" -> ((s, dir) => {
       val d = tbl(s, dir, "documents").select("doc_id", "text")
       val copies = d.select((col("doc_id") + 100000).as("doc_id"),
         concat(col("text"), lit(" tail marker")).as("text"))
-      DedupOps.nearDuplicates(d.unionAll(copies), threshold = 0.5)
+      DedupOps.nearDuplicates(d.unionAll(copies), threshold = 0.5, bands = 16)
         .where(col("b_id") === col("a_id") + 100000)
         .orderBy("a_id", "b_id")
     }),
@@ -496,9 +500,10 @@ object SparkEntry {
     // docs below the (quantized) mean quality; per-iteration lineage rows.
     "q_fixpoint" -> ((s, dir) => {
       import s.implicits._
-      var kept = tbl(s, dir, "documents")
+      val scored = tbl(s, dir, "documents")
         .select(col("doc_id"), TextOps.qualityScore(col("text")).as("q"))
         .persist() // 6 actions over the loop — score the corpus once
+      var kept = scored
       val log = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
       for (iter <- 1 to 3) {
         // quantized mean: both engines compare identical 2-dp thresholds,
@@ -507,6 +512,7 @@ object SparkEntry {
         kept = kept.where(col("q") >= m)
         log += ((iter, kept.count(), m))
       }
+      scored.unpersist(blocking = false) // loop actions done — free the cache
       log.toSeq.toDF("iter", "n_docs", "mean_q").orderBy("iter")
     }),
 
@@ -616,6 +622,44 @@ object SparkEntry {
     "q_media_decode" -> ((s, dir) =>
       MultimodalOps.decodeReal(MultimodalOps.realMediaTable(s, dir))
         .orderBy("doc_id").toDF()),
+
+    // §2.8 — base64 data-URI round-trip (reference embeds images as data
+    // URIs, utils/Base64ImageUtils.java): encode the payload into a
+    // `data:` URI, decode it back, and assert byte-exact round-trip — all
+    // codegen'd column expressions, no UDF.
+    "q_base64_uri" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          // strip MIME line-wrapping: Spark's base64 chunks at 76 chars
+          // (RFC 2045); a data: URI needs the unwrapped RFC 4648 form —
+          // which is also what DuckDB's to_base64 emits
+          concat(lit("data:text/plain;base64,"),
+            regexp_replace(base64(col("text").cast("binary")),
+              "[\\r\\n]", "")).as("data_uri"))
+        .withColumn("uri_len", length(col("data_uri")).cast("long"))
+        .withColumn("decoded",
+          unbase64(substring_index(col("data_uri"), ",", -1)).cast("string"))
+        .join(tbl(s, dir, "documents").select(col("doc_id"), col("text")), "doc_id")
+        .withColumn("roundtrip_ok", col("decoded") === col("text"))
+        .select("doc_id", "uri_len", "roundtrip_ok")
+        .orderBy("doc_id")
+    }),
+
+    // §2.8 — rlike with Unicode property classes (reference label-sequence
+    // classification, utils/BulletedParagraphUtils.java:30-38): per-language
+    // counts of docs whose text starts with a letter / digit / uppercase
+    // letter, and docs containing Han script. Patterns are chosen from the
+    // \p{...} classes Java regex and RE2 agree on.
+    "q_rlike_labels" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          count(when(col("text").rlike("^\\p{L}"), 1)).as("n_start_letter"),
+          count(when(col("text").rlike("^\\p{N}"), 1)).as("n_start_digit"),
+          count(when(col("text").rlike("^\\p{Lu}"), 1)).as("n_start_upper"),
+          count(when(col("text").rlike("\\p{IsHan}"), 1)).as("n_has_han"))
+        .orderBy("lang")
+    }),
 
     // Token counting + quality scoring per language.
     "q_doc_quality" -> ((s, dir) => {
@@ -1175,6 +1219,46 @@ object SparkEntry {
            |       CAST(sum(n_frame) AS BIGINT) AS frame_mass,
            |       max(n_frame) AS max_frame
            |FROM f GROUP BY conv_id ORDER BY conv_id""".stripMargin,
+
+      // Planted-pair recall gate for the LSH pipeline: every (doc, doc+tail)
+      // pair whose exact 3-token-shingle Jaccard clears the threshold must be
+      // found, with that jaccard. DuckDB shingles are strings, Spark's are
+      // xxhash64 of the same strings — set sizes (and so jaccard) agree
+      // absent 64-bit collisions within one doc pair's ~10³ shingles.
+      "q_near_dup_lsh" ->
+        """WITH d AS (SELECT doc_id, text FROM documents),
+          |tok AS (SELECT doc_id,
+          |  list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS ta,
+          |  list_filter(string_split_regex(lower(text || ' tail marker'), '\s+'), w -> w <> '') AS tb
+          |  FROM d),
+          |sh AS (SELECT doc_id,
+          |  CASE WHEN len(ta) >= 3 THEN list_distinct(list_transform(range(1, len(ta)-1),
+          |         i -> ta[i] || ' ' || ta[i+1] || ' ' || ta[i+2]))
+          |       ELSE [array_to_string(ta, ' ')] END AS sa,
+          |  CASE WHEN len(tb) >= 3 THEN list_distinct(list_transform(range(1, len(tb)-1),
+          |         i -> tb[i] || ' ' || tb[i+1] || ' ' || tb[i+2]))
+          |       ELSE [array_to_string(tb, ' ')] END AS sb
+          |  FROM tok),
+          |j AS (SELECT doc_id AS a_id, doc_id + 100000 AS b_id,
+          |        CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+          |          / len(list_distinct(list_concat(sa, sb))) AS jac
+          |      FROM sh)
+          |SELECT a_id, b_id, round(jac, 6) AS jaccard FROM j
+          |WHERE jac >= 0.5 ORDER BY a_id, b_id""".stripMargin,
+
+      "q_base64_uri" ->
+        """SELECT doc_id,
+          |       CAST(len('data:text/plain;base64,' || to_base64(encode(text))) AS BIGINT) AS uri_len,
+          |       decode(from_base64(to_base64(encode(text)))) = text AS roundtrip_ok
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q_rlike_labels" ->
+        """SELECT lang, count(*) AS n_docs,
+          |       count(*) FILTER (regexp_matches(text, '^\p{L}')) AS n_start_letter,
+          |       count(*) FILTER (regexp_matches(text, '^\p{N}')) AS n_start_digit,
+          |       count(*) FILTER (regexp_matches(text, '^\p{Lu}')) AS n_start_upper,
+          |       count(*) FILTER (regexp_matches(text, '\p{Han}')) AS n_has_han
+          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
       "q_doc_quality" ->
         """WITH d AS (

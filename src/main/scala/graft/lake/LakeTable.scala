@@ -73,6 +73,11 @@ final class LakeTable(val spark: SparkSession, val path: String,
 
   Files.createDirectories(snapDir)
   Files.createDirectories(Paths.get(path, "data"))
+  // Automatic bucket pruning for literal conv_id filters on read() — session
+  // -wide and idempotent (the rule is an object; register once).
+  if (!spark.experimental.extraOptimizations.contains(BucketPrune))
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ BucketPrune
 
   // ---- snapshot model ------------------------------------------------------
 

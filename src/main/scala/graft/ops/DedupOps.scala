@@ -91,6 +91,7 @@ object DedupOps {
                     k: Int = 32, shingleWidth: Int = 3,
                     maxBandBucket: Int = 1000,
                     prefilterAgree: Double = 0.0): DataFrame = {
+    require(k % bands == 0, s"bands=$bands must divide k=$k")
     val r = k / bands
     val sigs = minHashSignatures(df, idCol, k, shingleWidth)
     // Persisted: one row per DISTINCT signature (32 longs + member ids) —
@@ -125,7 +126,7 @@ object DedupOps {
         b => b)) >= minAgree)
       .select("ra", "rb").distinct()
     // expand representative pairs back to member pairs
-    repPairs
+    val out = repPairs
       .join(grp.select(col("rep").as("ra"), col("ids").as("ia")), "ra")
       .join(grp.select(col("rep").as("rb"), col("ids").as("ib")), "rb")
       .select(explode(col("ia")).as("a_id"), col("ib"))
@@ -134,6 +135,15 @@ object DedupOps {
       .select(least(col("a_id"), col("b_id")).as("a_id"),
         greatest(col("a_id"), col("b_id")).as("b_id"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Materialize the (candidate-bounded) result eagerly so the corpus-sized
+    // signature frame can be freed NOW — repeated calls in one session no
+    // longer accumulate cached corpus blocks for the app's lifetime. The
+    // returned frame stays cached (it feeds multi-pass verify joins); callers
+    // unpersist it when done, and unreferenced ones are weak-ref GC'd.
+    out.count()
+    grp.unpersist(blocking = false)
+    out
   }
 
   /** Exact n-gram Jaccard for given pairs (verification stage after LSH).
@@ -156,7 +166,7 @@ object DedupOps {
       .withColumnRenamed("sh", "sh_a"), "a_id")
     val withB = withA.join(sh.withColumnRenamed(idCol, "b_id")
       .withColumnRenamed("sh", "sh_b"), "b_id")
-    withB
+    val out = withB
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       // threshold on the raw ratio; round only for presentation (6 dp keeps
@@ -164,6 +174,13 @@ object DedupOps {
       .where(col("inter") / col("uni") >= threshold)
       .withColumn("jaccard", round(col("inter") / col("uni"), 6))
       .select("a_id", "b_id", "jaccard")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager: free the pair/shingle intermediates immediately (see
+    // lshCandidates) — the verified-pairs result is candidate-bounded
+    out.count()
+    p.unpersist(blocking = false)
+    sh.unpersist(blocking = false)
+    out
   }
 
   /** Full near-dup pipeline: LSH candidates → exact Jaccard verify. The
@@ -172,14 +189,22 @@ object DedupOps {
     * margin (agreement of a J≥t pair concentrates at t·k components), tight
     * enough to cut the ~n² sub-threshold candidates a dup-dense corpus
     * pushes through banding before any shingle array is shuffled.
+    *
+    * `bands` trades candidate volume for recall at the threshold: with r=k/b
+    * minhash rows per band, a J-similar pair is missed with probability
+    * (1−J^r)^b — k=32, b=8 (r=4) misses a J=0.8 pair ~1.5% of the time;
+    * b=16 (r=2) drops that to ~1e-7 at ~J² more candidates per band. The
+    * driver-contract query pins b=16 so recall is a hard correctness gate.
     */
   def nearDuplicates(df: DataFrame, threshold: Double = 0.7,
                      idCol: String = "doc_id", textCol: String = "text",
-                     maxBandBucket: Int = 1000): DataFrame =
-    jaccardVerify(df,
-      lshCandidates(df, idCol = idCol, maxBandBucket = maxBandBucket,
-        prefilterAgree = threshold / 2),
-      threshold, idCol, textCol)
+                     maxBandBucket: Int = 1000, bands: Int = 8): DataFrame = {
+    val cands = lshCandidates(df, bands = bands, idCol = idCol,
+      maxBandBucket = maxBandBucket, prefilterAgree = threshold / 2)
+    val out = jaccardVerify(df, cands, threshold, idCol, textCol)
+    cands.unpersist(blocking = false) // verify already materialized its result
+    out
+  }
 
   /** SimHash-64: per token-hash bit votes weighted +1/-1; signature bit b is
     * the sign of the vote sum. Implemented as one explode + bit-bucket agg —
@@ -243,11 +268,15 @@ object DedupOps {
       col("band"), col("bh"))
     val r = banded.select(col(idCol).as("b_id"), col("simhash").as("sb"),
       col("band"), col("bh"))
-    l.join(r, Seq("band", "bh"))
+    val out = l.join(r, Seq("band", "bh"))
       .where(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"), hamming64(col("sa"), col("sb")).as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // eager: free the corpus-sized signature cache now
+    sigs.unpersist(blocking = false)
+    out
   }
 
   /** SimHash near-dup buckets: identical signatures (Hamming 0). For a

@@ -153,12 +153,16 @@ object SimilarityOps {
     val sim = dotQ(col("qv"), col("cv")).cast("double") /
       (sqrt(col("qn").cast("double")) * sqrt(col("cn").cast("double")))
     val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("neighbor_id"))
-    broadcast(qProbes).join(lists, Seq("list_id"))
+    val out = broadcast(qProbes).join(lists, Seq("list_id"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", round(sim, 6))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "sim")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // eager: the top-k result is (queries×k)-bounded —
+    cents.unpersist(blocking = false) // free the centroid cache now
+    out
   }
 
   /** Bucketed ANN: exact cosine only within colliding LSH buckets, then

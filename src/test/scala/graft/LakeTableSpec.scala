@@ -424,6 +424,45 @@ class LakeTableSpec extends AnyFunSuite {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("BucketPrune: read().where(conv_id = 'x') scans only that key's bucket") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val t = freshTable(buckets = 8)
+    val wal = TranscriptWal.synthetic(spark, 1200, 20)
+    t.merge(wal, "t", 1)
+    t.compactAll()
+    // a delta so BOTH branches (clean fast path + dirty window) exist
+    t.merge(wal.where($"conv_id" === "c7").withColumn("lsn", $"lsn" + 1000000L), "t", 2)
+
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case LogicalRelation(rel: HadoopFsRelation, _, _, _, _) =>
+          rel.location.inputFiles.toSeq
+      }.flatten.map(f => f.substring(f.indexOf("data/"))).toSet
+
+    val allFiles = scannedFiles(t.read())
+    val keyBucket = LakeTable.bucketOf("c3", 8)
+    val expectFiles = t.currentSnapshot.get.buckets(keyBucket).allFiles.toSet
+
+    // plain DataFrame filter — no bespoke lookup API — prunes to one bucket
+    val q = t.read().where($"conv_id" === "c3")
+    assert(scannedFiles(q) == expectFiles, "scan restricted to c3's bucket")
+    assert(expectFiles.size < allFiles.size)
+    // IN-lists prune to the union of the keys' buckets
+    val q2 = t.read().where($"conv_id".isin("c3", "c7"))
+    val expect2 = Set("c3", "c7").map(LakeTable.bucketOf(_, 8))
+      .flatMap(b => t.currentSnapshot.get.buckets(b).allFiles)
+    assert(scannedFiles(q2) == expect2)
+    // correctness unchanged vs. the unpruned plan and the bespoke API
+    val viaFilter = q.collect().map(_.toString).sorted.toSeq
+    val viaApi = t.readConv("c3").collect().map(_.toString).sorted.toSeq
+    assert(viaFilter == viaApi && viaFilter.nonEmpty)
+    // non-literal / disjunctive predicates are untouched (no wrong pruning)
+    val qOr = t.read().where($"conv_id" === "c3" || $"turn_idx" === 0)
+    assert(scannedFiles(qOr) == allFiles)
+    assert(qOr.count() == t.read().where($"conv_id" === "c3" || $"turn_idx" === 0)
+      .collect().length)
+  }
+
   test("lineage metrics accumulate in snapshots") {
     val t = freshTable()
     val wal = TranscriptWal.synthetic(spark, 200, 5, deleteFraction = 0.2)

@@ -122,21 +122,27 @@ class NewOpsSpec extends AnyFunSuite {
     assert(capped.where(col("a_id") < 30 && col("b_id") < 30).count() == 30L * 29 / 2)
   }
 
-  test("toTextChunked equals unchunked rendering when chunks are concatenated") {
+  test("chunked rendering ≡ unchunked for EVERY format (text, markdown, html)") {
+    import graft.sink.TranscriptExport._
     val wal = graft.wal.TranscriptWal.synthetic(spark, 500, 4)
     val state = graft.wal.TranscriptWal.expectedState(wal)
-    val whole = graft.sink.TranscriptExport.toText(state)
-      .select($"conv_id", expr("substring(doc, length(conv_id) + 2)").as("body"))
-    val chunked = graft.sink.TranscriptExport.toTextChunked(state, turnsPerChunk = 7)
-      .groupBy("conv_id")
-      .agg(array_join(transform(
-        array_sort(collect_list(struct($"chunk_idx", $"doc"))),
-        t => t.getField("doc")), "\n").as("body"))
-    val a = whole.collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    val b = chunked.collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(a == b)
-    val nChunks = graft.sink.TranscriptExport.toTextChunked(state, 7).count()
-    assert(nChunks > state.select("conv_id").distinct().count())
+    def reassembled(chunks: org.apache.spark.sql.DataFrame, sep: String) =
+      chunks.groupBy("conv_id")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct($"chunk_idx", $"doc"))),
+          t => t.getField("doc")), sep).as("doc"))
+    val cases = Seq[(String, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, String)](
+      ("text", toText(state), toTextChunked(state, 7), "\n"),
+      ("markdown", toMarkdown(state), toMarkdownChunked(state, 7), "\n\n"),
+      ("html", toHtml(state), toHtmlChunked(state, 7), "\n"))
+    cases.foreach { case (name, whole, chunked, sep) =>
+      val a = whole.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val b = reassembled(chunked, sep).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(a == b, s"$name: chunk concatenation must equal the whole doc")
+      assert(chunked.count() > state.select("conv_id").distinct().count(),
+        s"$name: genuinely chunked (bounded per-chunk buffers)")
+    }
   }
 
   test("multi-probe LSH ANN recall >= single-probe on the same corpus") {

@@ -103,6 +103,32 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(lsh.where($"query_id" === $"neighbor_id").count() == 0)
   }
 
+  test("ANN recall@k regression gate: LSH and IVF vs brute force") {
+    // Pins index quality against parameter drift (reference precedent: CI
+    // accuracy thresholds, .github/workflows/test-benchmark.yml:114-185).
+    // Deterministic: hashes, not RNG — a future param change that drops
+    // recall below the gate turns this red.
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = e.where($"vec_id" < 25)
+    val k = 5
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue)).toSet
+    val brute = pairs(SimilarityOps.bruteForceTopK(e, q, k))
+    assert(brute.size == 25 * k)
+    // The fixture embeddings are ISOTROPIC RANDOM (measured: same-label
+    // cosine ≈ 0, top-5 neighbor sim ≈ 0.32) — the worst case for any
+    // sublinear index, where recall ≈ the fraction of the corpus scanned.
+    // Gates pin the MEASURED recall (0.488 / 0.816 via RecallProbe) minus a
+    // margin; on clustered production data the same params score far higher.
+    val lsh = pairs(SimilarityOps.lshTopK(e, q, k, bits = 4, multiProbe = 4))
+    val ivf = pairs(SimilarityOps.ivfTopK(e, q, k, nlist = 16, nprobe = 8))
+    val lshRecall = lsh.intersect(brute).size.toDouble / brute.size
+    val ivfRecall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(lshRecall >= 0.4, f"LSH recall@$k dropped to $lshRecall%.3f (< 0.4)")
+    assert(ivfRecall >= 0.7, f"IVF recall@$k dropped to $ivfRecall%.3f (< 0.7)")
+  }
+
   test("multimodal feature extraction is deterministic and partition-batched") {
     val feats = MultimodalOps.extractFeatures(
       MultimodalOps.syntheticMediaTable(spark, sf))
