@@ -391,6 +391,20 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Embedding-cosine near-dup (5th dedup modality): plant positively-scaled
+    // copies (cosine ≡ 1 up to quantization — same LSH bucket
+    // DETERMINISTICALLY, every projection keeps its sign), find them via
+    // bucketed exact cosine, and HARD-ORACLE the planted pairs' quantized
+    // cosine in DuckDB — bucket recall is a correctness gate.
+    "q_embed_dedup" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      val copies = e.select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(0.5f)).as("embedding"))
+      SimilarityOps.cosineNearDuplicates(e.unionAll(copies), threshold = 0.99)
+        .where(col("b_id") === col("a_id") + 100000)
+        .orderBy("a_id")
+    }),
+
     // LSH-bucketed ANN (the 100 TB plan): exact cosine only inside colliding
     // random-hyperplane buckets. Rows-only (bucketing is xxhash64-derived).
     "q_ann_lsh" -> ((s, dir) => {
@@ -1245,6 +1259,27 @@ object SparkEntry {
           |      FROM sh)
           |SELECT a_id, b_id, round(jac, 6) AS jaccard FROM j
           |WHERE jac >= 0.5 ORDER BY a_id, b_id""".stripMargin,
+
+      // Planted-copy recall gate for embedding near-dup: a 0.5-scaled copy's
+      // float multiply is EXACT (exponent decrement), so both engines see
+      // identical doubles; cosine is integer-quantized like q_ann_brute.
+      "q_embed_dedup" ->
+        """WITH base AS (
+          |  SELECT vec_id,
+          |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qa,
+          |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*0.5*1000) AS BIGINT)) AS qb
+          |  FROM embeddings),
+          |p AS (
+          |  SELECT vec_id AS a_id, vec_id + 100000 AS b_id,
+          |    list_sum(list_transform(range(1, len(qa)+1), i -> qa[i]*qb[i])) AS dot,
+          |    list_sum(list_transform(qa, x -> x*x)) AS na,
+          |    list_sum(list_transform(qb, x -> x*x)) AS nb
+          |  FROM base),
+          |s AS (SELECT a_id, b_id,
+          |        round(CAST(dot AS DOUBLE)
+          |          / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) AS sim
+          |      FROM p)
+          |SELECT a_id, b_id, sim FROM s WHERE sim >= 0.99 ORDER BY a_id""".stripMargin,
 
       "q_base64_uri" ->
         """SELECT doc_id,

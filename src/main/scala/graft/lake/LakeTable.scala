@@ -279,6 +279,25 @@ final class LakeTable(val spark: SparkSession, val path: String,
     } else mergeUncommitted(batch, epochNs, epochId, prev)
   }
 
+  /** [[merge]] with bounded optimistic retries: on a lost commit race the
+    * merge re-reads the winner's snapshot and re-applies (the epoch manifest
+    * still dedups a batch that actually committed). The loop is the whole
+    * multi-writer protocol — writers need no lock service, just this.
+    */
+  def mergeWithRetry(batch: DataFrame, epochNs: String, epochId: Long,
+                     maxRetries: Int = 5): MergeResult = {
+    var attempt = 0
+    while (true) {
+      try return merge(batch, epochNs, epochId)
+      catch {
+        case e: CommitConflictException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   private val profile = sys.env.get("GRAFT_PROFILE").contains("1")
   private def phased[A](name: String)(f: => A): A =
     if (!profile) f else {

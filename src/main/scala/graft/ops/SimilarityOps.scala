@@ -88,25 +88,36 @@ object SimilarityOps {
     * cost; queries pay nprobe/nlist of a full scan.
     */
   def ivfCentroids(corpus: DataFrame, nlist: Int,
-                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   lloydIters: Int = 1): DataFrame = {
     val seeds = corpus
       .select(col(idCol), transform(col(vecCol), _.cast("double")).as("c"))
       .withColumn("__r", xxhash64(col(idCol)))
       .orderBy("__r").limit(nlist)
       .select(row_number().over(Window.orderBy("__r")).as("list_id"), col("c"))
-    // one Lloyd refinement: assign every vector to its nearest seed, then
+    // Lloyd refinement(s): assign every vector to its nearest centroid, then
     // the new centroid is the element-wise mean of its members. Means are
     // computed per (list, dimension-position) via posexplode — the agg
     // buffer is bounded by the DIMENSION, never by list membership (a
     // collect_list of member vectors would buffer a whole list in one
-    // aggregation buffer at scale).
-    val assigned = assignToNearest(corpus, seeds, idCol, vecCol)
-    assigned
-      .select(col("list_id"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy("list_id", "pos").agg(avg(col("x")).as("m"))
-      .groupBy("list_id")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-        t => t.getField("m")).as("c"))
+    // aggregation buffer at scale). Each iteration is one assignment join +
+    // one mean pass; within-cluster SSE is non-increasing per Lloyd's
+    // guarantee (property-tested), so iters trade index-build passes for
+    // tighter lists. Intermediate centroid frames are tiny (nlist rows) —
+    // persisted per round so the next assignment doesn't recompute the chain.
+    (1 to lloydIters).foldLeft(seeds) { (cents, _) =>
+      val c = cents.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val next = assignToNearest(corpus, c, idCol, vecCol)
+        .select(col("list_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("list_id", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("list_id")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          t => t.getField("m")).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      c.unpersist(blocking = false)
+      next
+    }
   }
 
   /** (id, v, list_id): nearest centroid per vector via broadcast argmin. */
@@ -128,8 +139,8 @@ object SimilarityOps {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nlist: Int = 16,
               nprobe: Int = 4, idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
-    val cents = ivfCentroids(corpus, nlist, idCol, vecCol)
+              vecCol: String = "embedding", lloydIters: Int = 1): DataFrame = {
+    val cents = ivfCentroids(corpus, nlist, idCol, vecCol, lloydIters)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // similarity uses the same integer-quantized dot as bruteForceTopK, so
     // near-tie rankings agree bit-for-bit across the two search paths
@@ -162,6 +173,51 @@ object SimilarityOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count() // eager: the top-k result is (queries×k)-bounded —
     cents.unpersist(blocking = false) // free the centroid cache now
+    out
+  }
+
+  /** Embedding-cosine near-duplicate PAIRS (the fifth dedup modality next to
+    * exact / MinHash-LSH / SimHash / n-gram Jaccard): all (a, b) with
+    * quantized cosine ≥ threshold, found via random-hyperplane LSH buckets —
+    * exact cosine runs only inside colliding buckets, so the corpus is never
+    * self-joined. For true near-duplicates (cosine → 1) the two signatures
+    * agree on every hyperplane with probability (1 − θ/π)^bits → 1, and a
+    * positively-scaled copy lands in the SAME bucket deterministically (every
+    * projection keeps its sign), which is what makes the planted-pair oracle
+    * a hard recall gate. `multiProbe` widens each row's buckets by Hamming-1
+    * flips for boundary vectors; the hot-bucket cap bounds degenerate
+    * clusters exactly as in [[lshTopK]].
+    */
+  def cosineNearDuplicates(corpus: DataFrame, threshold: Double,
+                           bits: Int = 12, idCol: String = "vec_id",
+                           vecCol: String = "embedding",
+                           multiProbe: Int = 0,
+                           maxBucket: Int = 100000): DataFrame = {
+    val probes = array((lit(0L) +:
+      (0 until math.min(multiProbe, bits)).map(i => lit(1L << i))): _*)
+    val sigs = withLshBucket(corpus, bits, vecCol)
+      .select(col(idCol), quantize(col(vecCol)).as("qv"), col("lsh_bucket"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("lsh_bucket").orderBy(xxhash64(col(idCol)))))
+      .where(col("__rn") <= maxBucket).drop("__rn")
+      .withColumn("qn", dotQ(col("qv"), col("qv")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val l = sigs.select(col(idCol).as("a_id"), col("qv").as("va"),
+      col("qn").as("na"),
+      explode(transform(probes, m => col("lsh_bucket").bitwiseXOR(m))).as("lsh_bucket"))
+    val r = sigs.select(col(idCol).as("b_id"), col("qv").as("vb"),
+      col("qn").as("nb"), col("lsh_bucket"))
+    val sim = dotQ(col("va"), col("vb")).cast("double") /
+      (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))
+    val out = l.join(r, Seq("lsh_bucket"))
+      .where(col("a_id") < col("b_id"))
+      .withColumn("sim", round(sim, 6))
+      .where(col("sim") >= threshold)
+      .select("a_id", "b_id", "sim")
+      .distinct() // a pair can collide on several probe buckets
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // eager: free the corpus-sized signature cache now
+    sigs.unpersist(blocking = false)
     out
   }
 

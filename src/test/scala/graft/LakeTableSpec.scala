@@ -325,18 +325,13 @@ class LakeTableSpec extends AnyFunSuite {
     import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
     val pool = Executors.newFixedThreadPool(2)
     val start = new CountDownLatch(1)
-    val conflicts = new java.util.concurrent.atomic.AtomicInteger(0)
     def writer(ns: String): Runnable = () => {
       val t = new LakeTable(spark, path, numBuckets = 8)
       start.await()
       (1 to 4).foreach { e =>
         val batch = TranscriptWal.synthetic(spark, 50, 3, lsnOffset = e * 100000L)
           .withColumn("conv_id", concat(lit(ns + "-"), $"conv_id"))
-        var done = false
-        while (!done) {
-          try { t.merge(batch, ns, e); done = true }
-          catch { case _: graft.lake.CommitConflictException => conflicts.incrementAndGet() }
-        }
+        t.mergeWithRetry(batch, ns, e) // retry exhaustion propagates → test fails
       }
     }
     val f1 = pool.submit(writer("w1")); val f2 = pool.submit(writer("w2"))

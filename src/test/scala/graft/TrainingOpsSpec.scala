@@ -129,6 +129,36 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(ivfRecall >= 0.7, f"IVF recall@$k dropped to $ivfRecall%.3f (< 0.7)")
   }
 
+  test("IVF Lloyd iterations never increase within-cluster SSE") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    def sse(iters: Int): Double = {
+      val cents = SimilarityOps.ivfCentroids(e, nlist = 8, lloydIters = iters)
+      SimilarityOps.assignToNearest(e, cents)
+        .join(cents, "list_id")
+        .select(aggregate(zip_with($"v", $"c", (a, b) => (a - b) * (a - b)),
+          lit(0.0d), (acc, x) => acc + x).as("d"))
+        .agg(sum($"d")).collect()(0).getDouble(0)
+    }
+    val s1 = sse(1); val s2 = sse(2); val s3 = sse(3)
+    assert(s2 <= s1 * (1 + 1e-9) && s3 <= s2 * (1 + 1e-9),
+      f"Lloyd SSE must be non-increasing: $s1%.2f -> $s2%.2f -> $s3%.2f")
+  }
+
+  test("cosineNearDuplicates finds every positively-scaled planted copy") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
+    val copies = e.select(($"vec_id" + 100000).as("vec_id"),
+      transform($"embedding", x => x * lit(0.5f)).as("embedding"))
+    val pairs = SimilarityOps.cosineNearDuplicates(e.unionAll(copies), threshold = 0.99)
+    val planted = pairs.where($"b_id" === $"a_id" + 100000)
+    // scaling preserves every projection's sign ⇒ identical bucket ⇒ 100%
+    // recall, deterministically — not a probabilistic expectation
+    assert(planted.count() == e.count())
+    assert(planted.where($"sim" < 0.99).count() == 0)
+    // and no false positives: unrelated random vectors never reach 0.99
+    assert(pairs.count() == planted.count())
+    pairs.unpersist(blocking = false)
+  }
+
   test("multimodal feature extraction is deterministic and partition-batched") {
     val feats = MultimodalOps.extractFeatures(
       MultimodalOps.syntheticMediaTable(spark, sf))
