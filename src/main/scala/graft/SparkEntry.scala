@@ -361,6 +361,28 @@ object SparkEntry {
         .orderBy("a_id", "b_id")
     }),
 
+    // Duplicate-CLUSTER resolution: near-dup pairs (exact token-set Jaccard
+    // over a corpus with planted copies) → connected components via
+    // iterative min-label propagation → canonical survivor per component.
+    // Oracled against a DuckDB RECURSIVE reachability CTE computing the
+    // same min-reachable-id labels.
+    "q_dup_clusters" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").where(col("doc_id") < 60)
+        .select("doc_id", "text")
+      val all = d.unionAll(d.select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" tail marker")).as("text")))
+      val ids = all.select(col("doc_id").as("a_id"))
+        .crossJoin(all.select(col("doc_id").as("b_id")))
+        .where(col("a_id") < col("b_id"))
+      // width-3 shingles: token-set (width-1) Jaccard at 0.5 chains random
+      // docs through shared stopwords into one giant blob (measured: 116 of
+      // 120 nodes in one component); 3-gram shingles keep only real overlap
+      val pairs = DedupOps.jaccardVerify(all, ids, threshold = 0.5, shingleWidth = 3)
+      DedupOps.dupClusters(pairs.select("a_id", "b_id"))
+        .withColumn("is_survivor", col("id") === col("cluster_id"))
+        .orderBy("id")
+    }),
+
     // SimHash near-dup buckets on the same augmented corpus. Rows-only.
     "q_simhash" -> ((s, dir) => {
       val d = tbl(s, dir, "documents").select("doc_id", "text")
@@ -1259,6 +1281,37 @@ object SparkEntry {
           |      FROM sh)
           |SELECT a_id, b_id, round(jac, 6) AS jaccard FROM j
           |WHERE jac >= 0.5 ORDER BY a_id, b_id""".stripMargin,
+
+      // Connected components as min-reachable-id via a recursive walk: the
+      // UNION dedups (v, label) states so the CTE terminates; grouping by v
+      // with min(l) is exactly the fixpoint the engine's label propagation
+      // converges to.
+      "q_dup_clusters" ->
+        """WITH RECURSIVE d0 AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id < 60),
+          |corpus AS (
+          |  SELECT doc_id, text FROM d0
+          |  UNION ALL SELECT doc_id + 100000, text || ' tail marker' FROM d0),
+          |tok AS (SELECT doc_id,
+          |          list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS t
+          |        FROM corpus),
+          |t AS (SELECT doc_id,
+          |        CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
+          |               range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+          |             ELSE [array_to_string(t, ' ')] END AS s
+          |      FROM tok),
+          |e AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM t a, t b
+          |      WHERE a.doc_id < b.doc_id
+          |        AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          |            / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+          |edges AS (SELECT a_id AS src, b_id AS dst FROM e
+          |          UNION SELECT b_id, a_id FROM e),
+          |walk(v, l) AS (
+          |  SELECT DISTINCT src, src FROM edges
+          |  UNION
+          |  SELECT e.dst, w.l FROM walk w JOIN edges e ON e.src = w.v)
+          |SELECT v AS id, min(l) AS cluster_id, v = min(l) AS is_survivor
+          |FROM walk GROUP BY v ORDER BY id""".stripMargin,
 
       // Planted-copy recall gate for embedding near-dup: a 0.5-scaled copy's
       // float multiply is EXACT (exponent decrement), so both engines see

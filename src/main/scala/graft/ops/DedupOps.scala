@@ -102,29 +102,38 @@ object DedupOps {
     val grp = sigs.groupBy(col("minhash"))
       .agg(min(col(idCol)).as("rep"), collect_list(col(idCol)).as("ids"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = grp.select(col("rep"), col("minhash"),
+    // SLIM bucketing: the band window and self-join carry only
+    // (rep, band, bh) — 3 longs — never the k-long signature array (17×
+    // less shuffle payload; signatures rejoin below for candidate pairs
+    // only). Band hash = native xxhash64 over the band id + the band's r
+    // signature components — longs hashed directly, no string concat.
+    val banded = grp.select(col("rep"),
       explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"), xxhash64(
-          concat_ws(",", slice(col("minhash"), b * r + 1, r))).as("bh"))
+        struct(lit(b).as("band"),
+          xxhash64(lit(b) +: (0 until r).map(i =>
+            element_at(col("minhash"), b * r + i + 1)): _*).as("bh"))
       }: _*)).as("bb"))
-      .select(col("rep"), col("minhash"),
-        col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .select(col("rep"), col("bb.band").as("band"), col("bb.bh").as("bh"))
     val kept = banded.withColumn("__bn",
         count(lit(1)).over(Window.partitionBy("band", "bh")))
       .where(col("__bn") <= maxBandBucket).drop("__bn")
-    val l = kept.select(col("rep").as("ra"), col("minhash").as("sa"),
-      col("band"), col("bh"))
-    val rt = kept.select(col("rep").as("rb"), col("minhash").as("sb"),
-      col("band"), col("bh"))
+    val l = kept.select(col("rep").as("ra"), col("band"), col("bh"))
+    val rt = kept.select(col("rep").as("rb"), col("band"), col("bh"))
     val minAgree = math.ceil(prefilterAgree * k).toInt
     // ra <= rb keeps each group's SELF-pair, which expands below into the
     // intra-group member pairs (identical signatures agree on every band) —
     // no separate intra branch, one less plan arm to compile and union.
+    // distinct() BEFORE the prefilter: a pair colliding in several bands is
+    // deduped first, so the signature-agreement check runs once per pair.
+    val sigOf = grp.select(col("rep"), col("minhash"))
     val repPairs = l.join(rt, Seq("band", "bh"))
       .where(col("ra") <= col("rb"))
+      .select("ra", "rb").distinct()
+      .join(sigOf.select(col("rep").as("ra"), col("minhash").as("sa")), "ra")
+      .join(sigOf.select(col("rep").as("rb"), col("minhash").as("sb")), "rb")
       .where(size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
         b => b)) >= minAgree)
-      .select("ra", "rb").distinct()
+      .select("ra", "rb")
     // expand representative pairs back to member pairs
     val out = repPairs
       .join(grp.select(col("rep").as("ra"), col("ids").as("ia")), "ra")
@@ -277,6 +286,55 @@ object DedupOps {
     out.count() // eager: free the corpus-sized signature cache now
     sigs.unpersist(blocking = false)
     out
+  }
+
+  /** Duplicate-CLUSTER resolution — the stage after pair finding that a real
+    * dedup pipeline needs: near-duplication is transitive in practice (A≈B,
+    * B≈C ⇒ keep one of {A,B,C}), so survivors must be chosen per CONNECTED
+    * COMPONENT of the pair graph, not per pair. Pregel-style iterative
+    * min-label propagation (label(v) ← min(label(v), min over neighbors)),
+    * converging in O(diameter) passes — near-dup graphs are shallow, so this
+    * is a handful of joins even at 10^10 docs; the A5 driver-bounded loop
+    * checks convergence with one count per pass. Returns (id, cluster_id)
+    * where cluster_id = the component's minimum id (the canonical survivor).
+    *
+    * Each pass shuffles only (id, label) longs; edges are persisted once.
+    */
+  def dupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // undirected: propagate both ways
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionAll(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .distinct().persist(mem)
+    edges.count()
+    // localCheckpoint, not persist: each pass must TRUNCATE the logical plan,
+    // or iteration k carries a k-deep nested join/agg plan and Catalyst
+    // re-optimizes the whole tower every pass — measured minutes of pure
+    // driver CPU by ~30 iterations. The iterative-graph rule: checkpoint per
+    // superstep (what GraphX/Pregel do), keep only (id, label) longs.
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.select(col("id"), col("label"))
+        .unionAll(viaNeighbors)
+        .groupBy("id").agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      // convergence = no label changed this pass (exact, one small count)
+      val changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
+        .where(col("label") =!= col("prev")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    require(converged, s"dupClusters did not converge in $maxIters passes " +
+      "(component diameter exceeds the bound — raise maxIters)")
+    edges.unpersist(blocking = false)
+    labels.select(col("id"), col("label").as("cluster_id"))
   }
 
   /** SimHash near-dup buckets: identical signatures (Hamming 0). For a

@@ -129,6 +129,23 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(ivfRecall >= 0.7, f"IVF recall@$k dropped to $ivfRecall%.3f (< 0.7)")
   }
 
+  test("dupClusters resolves transitive components to the min-id survivor") {
+    // chain 1-2-3 (diameter 2), pair 10-11, star 20-{21,22,23}
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L),
+      (20L, 21L), (20L, 22L), (20L, 23L)).toDF("a_id", "b_id")
+    val got = DedupOps.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+    // convergence bound is enforced, not silent
+    val deep = (1L to 30L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("a_id", "b_id")
+    intercept[IllegalArgumentException] {
+      DedupOps.dupClusters(deep, maxIters = 3)
+    }
+    assert(DedupOps.dupClusters(deep, maxIters = 40)
+      .where($"cluster_id" === 1L).count() == 30)
+  }
+
   test("IVF Lloyd iterations never increase within-cluster SSE") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     def sse(iters: Int): Double = {
