@@ -51,8 +51,18 @@ object BucketPrune extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** Per-root bucket-count cache: one snapshot read per TABLE, not per query
+    * optimization. Safe because a table's bucket layout is immutable —
+    * changing it requires rebucket() into a NEW path (enforced by
+    * LakeTable.checkBuckets).
+    */
+  private val nbCache = new java.util.concurrent.ConcurrentHashMap[String, Option[Int]]()
+
   /** Bucket count from the table's latest snapshot (None ⇒ not a lake). */
-  private def numBucketsOf(root: String): Option[Int] = {
+  private def numBucketsOf(root: String): Option[Int] =
+    nbCache.computeIfAbsent(root, readNumBuckets)
+
+  private def readNumBuckets(root: String): Option[Int] = {
     val snapDir = Paths.get(root, "snapshots")
     if (!Files.isDirectory(snapDir)) return None
     val latest = scala.util.Using.resource(Files.list(snapDir)) { s =>
