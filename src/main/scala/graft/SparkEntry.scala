@@ -44,6 +44,41 @@ object SparkEntry {
         .orderBy("conv_id", "turn_idx")
     }),
 
+    // TIME TRAVEL — two commits, read the table AS OF the first: the old
+    // snapshot's merge-on-read state must equal the arbitrated state of the
+    // first batch alone.
+    "q_time_travel" -> ((s, dir) => {
+      val work = Files.createTempDirectory("graftlake").toString
+      val wal = TranscriptWal.fromEvents(s, dir).cache()
+      val Array(lo, hi) = wal.agg(min(col("lsn")), max(col("lsn")))
+        .collect()(0) match { case r => Array(r.getLong(0), r.getLong(1)) }
+      val split = Math.floorDiv(lo + hi, 2L)
+      val t = new graft.lake.LakeTable(s, s"$work/t", numBuckets = 16)
+      t.merge(wal.where(col("lsn") < split), "t", 1)
+      t.merge(wal.where(col("lsn") >= split), "t", 2)
+      t.readAsOf(1)
+        .select("conv_id", "turn_idx", "role", "text")
+        .orderBy("conv_id", "turn_idx")
+    }),
+
+    // INCREMENTAL READ (change-data-feed) — the rows committed after v1 are
+    // exactly the second batch, with their commit version attached.
+    "q_changes_since" -> ((s, dir) => {
+      val work = Files.createTempDirectory("graftlake").toString
+      val wal = TranscriptWal.fromEvents(s, dir).cache()
+      val Array(lo, hi) = wal.agg(min(col("lsn")), max(col("lsn")))
+        .collect()(0) match { case r => Array(r.getLong(0), r.getLong(1)) }
+      val split = Math.floorDiv(lo + hi, 2L)
+      val t = new graft.lake.LakeTable(s, s"$work/t", numBuckets = 16)
+      t.merge(wal.where(col("lsn") < split), "t", 1)
+      t.merge(wal.where(col("lsn") >= split), "t", 2)
+      t.changesSince(1)
+        .select(col("conv_id"), col("turn_idx"), col("op"),
+          col("_lsn").as("lsn"), col("role"), col("text"),
+          col("_commit_version").as("commit_version"))
+        .orderBy("conv_id", "turn_idx", "lsn", "op")
+    }),
+
     // F1 — exact duplicate events (same key+lsn) collapse to one.
     "q_cdc_dedup" -> ((s, dir) => {
       val wal = TranscriptWal.fromEvents(s, dir)
@@ -745,6 +780,27 @@ object SparkEntry {
            |SELECT conv_id, turn_idx, role, text, tool
            |FROM latest WHERE rn = 1 AND op <> 'D'
            |ORDER BY conv_id, turn_idx""".stripMargin,
+
+      // Arbitrated state of the sub-split half of the WAL = what time travel
+      // to the first commit must return.
+      "q_time_travel" ->
+        s"""$walCte, s AS (SELECT (min(lsn) + max(lsn)) // 2 AS v FROM wal),
+           |h AS (SELECT * FROM wal, s WHERE lsn < s.v),
+           |latest AS (
+           |  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+           |  FROM h)
+           |SELECT conv_id, turn_idx, role, text
+           |FROM latest WHERE rn = 1 AND op <> 'D'
+           |ORDER BY conv_id, turn_idx""".stripMargin,
+
+      // The change feed after commit 1 is the RAW second batch (no
+      // arbitration — consumers arbitrate), stamped with its commit version.
+      "q_changes_since" ->
+        s"""$walCte, s AS (SELECT (min(lsn) + max(lsn)) // 2 AS v FROM wal)
+           |SELECT conv_id, turn_idx, op, lsn, role, text,
+           |       CAST(2 AS BIGINT) AS commit_version
+           |FROM wal, s WHERE lsn >= s.v
+           |ORDER BY conv_id, turn_idx, lsn, op""".stripMargin,
 
       "q_cdc_dedup" ->
         s"""$walCte

@@ -224,6 +224,18 @@ final class LakeTable(val spark: SparkSession, val path: String,
   /** Current live state (payload columns only). */
   def read(): DataFrame = readWithLsn().drop("_lsn")
 
+  /** TIME TRAVEL: the live state as of snapshot `version` — same
+    * merge-on-read plan, older manifest. Valid while the snapshot (and the
+    * files it references) survive [[vacuum]]'s retention window; a vacuumed
+    * version fails loudly on open, never returns partial state.
+    */
+  def readAsOf(version: Long): DataFrame = {
+    require(Files.exists(snapPath(version)),
+      s"snapshot v$version does not exist at $path (never written, or " +
+        "vacuumed past the retention window)")
+    readState(readSnapshot(version)).where(col("op") =!= "D").drop("op", "_lsn")
+  }
+
   /** Merge-on-read, PER BUCKET: only buckets that actually carry deltas pay
     * the arbitration window; delta-free buckets stream through the compacted
     * fast path (bases hold one row per key already) and the two branches
@@ -232,20 +244,68 @@ final class LakeTable(val spark: SparkSession, val path: String,
     */
   def readWithLsn(): DataFrame = currentSnapshot match {
     case None => spark.emptyDataFrame
-    case Some(s) =>
-      checkBuckets(s)
-      val schema = fileSchema(s.schema)
-      val (dirty, clean) = s.buckets.values.toSeq.partition(_.deltas.nonEmpty)
-      val outCols = (Seq("conv_id", "turn_idx", "op", "_lsn") ++
-        s.schema.fieldNames.filterNot(keyCols.contains)).map(col).toIndexedSeq
-      val cleanPart = scanFiles(clean.flatMap(_.base), schema).select(outCols: _*)
-      val dirtyPart =
-        if (dirty.isEmpty) None
-        else Some(arbitrate(
-          scanFiles(dirty.flatMap(_.allFiles), schema).withColumn("__pri", lit(0)),
-          s.schema))
-      dirtyPart.fold(cleanPart)(cleanPart.unionByName(_))
-        .where(col("op") =!= "D").drop("op")
+    case Some(s) => readState(s).where(col("op") =!= "D").drop("op")
+  }
+
+  /** Arbitrated state (op + payload + _lsn) of an arbitrary snapshot. */
+  private def readState(s: Snapshot): DataFrame = {
+    checkBuckets(s)
+    val schema = fileSchema(s.schema)
+    val (dirty, clean) = s.buckets.values.toSeq.partition(_.deltas.nonEmpty)
+    val outCols = (Seq("conv_id", "turn_idx", "op", "_lsn") ++
+      s.schema.fieldNames.filterNot(keyCols.contains)).map(col).toIndexedSeq
+    val cleanPart = scanFiles(clean.flatMap(_.base), schema).select(outCols: _*)
+    val dirtyPart =
+      if (dirty.isEmpty) None
+      else Some(arbitrate(
+        scanFiles(dirty.flatMap(_.allFiles), schema).withColumn("__pri", lit(0)),
+        s.schema))
+    dirtyPart.fold(cleanPart)(cleanPart.unionByName(_))
+  }
+
+  /** INCREMENTAL READ (change-data-feed): the raw change rows committed
+    * after snapshot `sinceVersion`, with op / payload / `_lsn` /
+    * `_commit_version`. An incremental consumer holding state as of v
+    * applies these through the same last-writer-wins arbitration and lands
+    * on the current state — no full-table rescan (cost = the new deltas,
+    * not the table; the CDC contract downstream pipelines consume).
+    *
+    * Works from the snapshot history: commit w's NEW delta files are those
+    * whose epoch directory encodes version w (compaction rewrites carry no
+    * new changes and contribute nothing). Valid while snapshots back to
+    * `sinceVersion+1` survive the retention window — a vacuumed history
+    * fails loudly rather than silently skipping commits.
+    */
+  def changesSince(sinceVersion: Long): DataFrame = currentSnapshot match {
+    case None => spark.emptyDataFrame
+    case Some(cur) =>
+      checkBuckets(cur)
+      val schema = fileSchema(cur.schema)
+      val frames = ((sinceVersion + 1) to cur.version).flatMap { w =>
+        require(Files.exists(snapPath(w)),
+          s"snapshot v$w missing at $path — history vacuumed past " +
+            s"changesSince($sinceVersion)'s window")
+        val s = readSnapshot(w)
+        val newDeltas = s.buckets.values.flatMap(_.deltas)
+          .filter(f => epochVersionOf(f).contains(w)).toSeq
+        if (newDeltas.isEmpty) None
+        else Some(scanFiles(newDeltas, schema)
+          .withColumn("_commit_version", lit(w)))
+      }
+      if (frames.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(schema.fields :+ StructField("_commit_version", LongType)))
+      else frames.reduce(_ unionByName _)
+  }
+
+  /** Version encoded in a data file's epoch dir (data/e<ver>-<nonce>/…);
+    * None for compaction rewrites (data/e<ver>-c-<nonce>/…).
+    */
+  private def epochVersionOf(file: String): Option[Long] = {
+    val dir = file.split('/')(1) // e0000000012-<nonce> | e0000000012-c-<nonce>
+    val parts = dir.split('-')
+    if (parts.length >= 2 && parts(1) == "c") None
+    else Some(parts(0).drop(1).toLong)
   }
 
   // ---- merge (the sink) ----------------------------------------------------

@@ -458,6 +458,86 @@ class LakeTableSpec extends AnyFunSuite {
       .collect().length)
   }
 
+  test("time travel: readAsOf returns each retained version's exact state") {
+    val t = freshTable()
+    val wal = TranscriptWal.synthetic(spark, 600, 10, deleteFraction = 0.1).cache()
+    val b1 = wal.where($"lsn" < 300); val b2 = wal.where($"lsn" >= 300)
+    t.merge(b1, "t", 1)
+    t.merge(b2, "t", 2)
+    val v1 = t.readAsOf(1).select("conv_id", "turn_idx", "text")
+    val e1 = TranscriptWal.expectedState(b1).select("conv_id", "turn_idx", "text")
+    assert(v1.exceptAll(e1).count() == 0 && e1.exceptAll(v1).count() == 0)
+    val v2 = t.readAsOf(2).select("conv_id", "turn_idx", "text")
+    val now = t.read().select("conv_id", "turn_idx", "text")
+    assert(v2.exceptAll(now).count() == 0 && now.exceptAll(v2).count() == 0)
+    intercept[IllegalArgumentException] { t.readAsOf(99) }
+  }
+
+  test("changesSince: incremental feed replays to the current state") {
+    val t = freshTable()
+    val wal = TranscriptWal.synthetic(spark, 900, 10, deleteFraction = 0.1).cache()
+    val parts = Seq(wal.where($"lsn" < 200),
+      wal.where($"lsn" >= 200 && $"lsn" < 500), wal.where($"lsn" >= 500))
+    parts.zipWithIndex.foreach { case (b, i) => t.merge(b, "t", i + 1) }
+    // feed after v1 = exactly the raw rows of commits 2 and 3
+    val feed = t.changesSince(1)
+    assert(feed.select("_commit_version").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(2L, 3L))
+    val feedRows = feed.select($"conv_id", $"turn_idx", $"op", $"_lsn".as("lsn"))
+    val expRows = parts(1).unionAll(parts(2))
+      .select("conv_id", "turn_idx", "op", "lsn")
+    assert(feedRows.exceptAll(expRows).count() == 0 &&
+      expRows.exceptAll(feedRows).count() == 0)
+    // a consumer holding v1 state applies the feed and lands on current state
+    val t2 = freshTable()
+    t2.merge(parts(0), "c", 1)
+    val batch = feed.drop("_commit_version")
+      .withColumnRenamed("_lsn", "lsn")
+      .withColumn("commit_ts", $"ts")
+    t2.merge(batch, "c", 2)
+    val a = t.read().select("conv_id", "turn_idx", "text")
+    val b = t2.read().select("conv_id", "turn_idx", "text")
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    // compaction adds no phantom changes; vacuumed history fails loudly
+    t.compactAll()
+    val afterCompact = t.changesSince(1)
+      .select($"conv_id", $"turn_idx", $"op", $"_lsn".as("lsn"))
+    assert(afterCompact.exceptAll(expRows).count() == 0 &&
+      expRows.exceptAll(afterCompact).count() == 0)
+    t.vacuum(keepSnapshots = 1)
+    intercept[IllegalArgumentException] { t.changesSince(1).count() }
+  }
+
+  test("graftlake data source: format/SQL surface with pruned lookups") {
+    val t = freshTable(buckets = 8)
+    val wal = TranscriptWal.synthetic(spark, 600, 12).cache()
+    val b1 = wal.where($"lsn" < 300); val b2 = wal.where($"lsn" >= 300)
+    t.merge(b1, "t", 1); t.merge(b2, "t", 2)
+
+    val viaFormat = spark.read.format("graftlake").load(t.path)
+    assert(viaFormat.count() == t.read().count())
+    // literal conv_id filter routes through the bucket-pruned lookup
+    val one = viaFormat.where($"conv_id" === "c3").select("conv_id", "turn_idx")
+    val exp = t.readConv("c3").select("conv_id", "turn_idx")
+    assert(one.exceptAll(exp).count() == 0 && exp.exceptAll(one).count() == 0)
+
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW lake_sql " +
+      s"USING graftlake OPTIONS (path '${t.path}')")
+    assert(spark.sql("SELECT count(*) FROM lake_sql").collect()(0).getLong(0) ==
+      t.read().count())
+    assert(spark.sql("SELECT count(DISTINCT conv_id) FROM lake_sql WHERE conv_id IN ('c1','c2')")
+      .collect()(0).getLong(0) == 2)
+
+    // time travel + change feed through options
+    val asOf = spark.read.format("graftlake")
+      .option("asOfVersion", "1").load(t.path)
+    assert(asOf.count() == t.readAsOf(1).count())
+    val feed = spark.read.format("graftlake")
+      .option("changesSince", "1").load(t.path)
+    assert(feed.count() == b2.count())
+    assert(feed.columns.contains("_commit_version"))
+  }
+
   test("lineage metrics accumulate in snapshots") {
     val t = freshTable()
     val wal = TranscriptWal.synthetic(spark, 200, 5, deleteFraction = 0.2)
