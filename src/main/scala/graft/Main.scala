@@ -8,7 +8,7 @@ import graft.stream.CdcIngestJob
 /** spark-submit entrypoint: `spark-submit --class graft.Main <jar> ingest
   * --wal DIR --table DIR --checkpoint DIR [--buckets N] [--watermark '1 hour']
   * [--sanitize] [--drop-boilerplate] [--max-files-per-trigger N]
-  * [--no-watermark]`
+  * [--no-watermark] [--format parquet|json]`
   *
   * Also: `compact --table DIR [--gc-below-lsn N]`, `vacuum --table DIR
   * [--keep N]`, `rebucket --table DIR --target DIR --buckets N`.
@@ -61,7 +61,8 @@ object Main {
           enforceWatermark = !a.contains("no-watermark"),
           sanitize = a.contains("sanitize"),
           flagBoilerplate = a.contains("drop-boilerplate"),
-          maxFilesPerTrigger = a.getOrElse("max-files-per-trigger", "8").toInt)
+          maxFilesPerTrigger = a.getOrElse("max-files-per-trigger", "8").toInt,
+          walFormat = a.getOrElse("format", "parquet"))
         val (q, metrics) = CdcIngestJob.startWithMetrics(spark, req("wal"), conf)
         q.awaitTermination()
         println(s"""{"eventsApplied":${metrics.eventsApplied},"lateDrops":${metrics.lateDrops}}""")

@@ -83,5 +83,8 @@ final case class IngestConfig(
     flagBoilerplate: Boolean = false,
     /** Salt factor for hot-conversation pre-shuffle (0 = off). */
     saltBuckets: Int = 8,
-    maxFilesPerTrigger: Int = 8
+    maxFilesPerTrigger: Int = 8,
+    /** WAL encoding: "parquet" (binlog extracts) or "json" (line-delimited
+      * feeds — corrupt records counted and filtered, never fatal). */
+    walFormat: String = "parquet"
 )

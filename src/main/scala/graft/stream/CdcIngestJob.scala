@@ -82,10 +82,20 @@ object CdcIngestJob {
     val metrics = new IngestMetrics
     val schema = if (withTool) Schemas.changeEvent else Schemas.changeEventV0
     val table = new LakeTable(spark, conf.tablePath, conf.numBuckets)
-    val stream = spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", conf.maxFilesPerTrigger)
-      .parquet(walDir)
+    // WAL encoding is a config switch: parquet binlog extracts, or a JSON
+    // line feed through the hardened source (corrupt records observed as
+    // `wal_source_stream` on the progress bus, then filtered — the
+    // reference's warn-and-continue policy, DocumentProcessor.java:239-250).
+    val raw = conf.walFormat match {
+      case "parquet" => spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", conf.maxFilesPerTrigger)
+        .parquet(walDir)
+      case "json" =>
+        graft.wal.WalSource.readJsonStream(spark, walDir, conf.maxFilesPerTrigger)
+      case other => sys.error(s"unknown walFormat: $other (parquet|json)")
+    }
+    val stream = raw
       .withWatermark("commit_ts", conf.watermarkDelay)
       // surfaced per batch on the streaming progress bus (MetricsListener)
       .observe("wal", count(lit(1)).as("events"),

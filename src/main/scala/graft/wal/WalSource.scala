@@ -51,7 +51,8 @@ object WalSource {
     * frame), so every batch's `corrupt_records`/`clean_records` reach
     * `StreamingQueryProgress.observedMetrics` and [[graft.stream.MetricsListener]].
     */
-  def readJsonStream(spark: SparkSession, dir: String): DataFrame = {
+  def readJsonStream(spark: SparkSession, dir: String,
+                     maxFilesPerTrigger: Int = 8): DataFrame = {
     val bad = col(corruptCol).isNotNull ||
       col("op").isNull || col("lsn").isNull ||
       col("conv_id").isNull || col("turn_idx").isNull
@@ -59,6 +60,7 @@ object WalSource {
       .schema(schemaWithCorrupt)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", corruptCol)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(dir)
       .observe("wal_source_stream",
         count(when(bad, 1)).as("corrupt_records"),

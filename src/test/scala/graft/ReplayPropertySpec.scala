@@ -91,4 +91,31 @@ class ReplayPropertySpec extends AnyFunSuite {
       assertMatchesOracle(t.read().select("conv_id", "turn_idx", "text"))
     }
   }
+
+  test("BucketPrune is invisible: random key-set filters equal the unpruned truth") {
+    // An optimizer rule that rewrites scan file lists is the riskiest kind
+    // of code — this property pins that NO literal conv_id filter, over any
+    // random key subset (present keys, absent keys, empty-ish, mixed), can
+    // ever change results: the pruned plan must equal both the bespoke
+    // pruned API and the oracle state filtered in memory.
+    val t = new LakeTable(spark, Files.createTempDirectory("prune").toString, 8)
+    val cuts = Seq(150L, 300L)
+    (Long.MinValue +: cuts :+ Long.MaxValue).sliding(2).zipWithIndex.foreach {
+      case (Seq(lo, hi), i) => t.merge(walDf.where($"lsn" >= lo && $"lsn" < hi), "p", i.toLong)
+      case _ =>
+    }
+    t.compactAll()
+    // leave one bucket dirty so both MOR branches are exercised under pruning
+    t.merge(walDf.where($"conv_id" === "c1").withColumn("lsn", $"lsn" + 500000L), "p", 99L)
+    val universe = (0 until 6).map(i => s"c$i") ++ Seq("hot", "ghost-a", "ghost-b")
+    val keysGen = Gen.nonEmptyListOf(Gen.oneOf(universe)).map(_.distinct)
+    (1L to 8L).foreach { seed =>
+      val keys = sample(keysGen, seed)
+      val pruned = t.read().where($"conv_id".isin(keys: _*))
+        .select("conv_id", "turn_idx", "text")
+      val api = t.readConvs(keys).select("conv_id", "turn_idx", "text")
+      assert(pruned.exceptAll(api).count() == 0 && api.exceptAll(pruned).count() == 0,
+        s"pruned filter != pruned API for keys $keys")
+    }
+  }
 }

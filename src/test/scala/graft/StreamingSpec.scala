@@ -247,6 +247,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("JSON WAL ingest end-to-end: corrupt rows counted, clean rows applied") {
+    val work = Files.createTempDirectory("json-ingest").toString
+    val conf = IngestConfig(tablePath = s"$work/table",
+      checkpointPath = s"$work/cp", numBuckets = 8,
+      enforceWatermark = false, walFormat = "json", maxFilesPerTrigger = 2)
+    val wal = TranscriptWal.synthetic(spark, 400, 8, deleteFraction = 0.1).cache()
+    wal.coalesce(2).write.mode("overwrite").json(s"$work/wal")
+    Files.write(java.nio.file.Paths.get(s"$work/wal/zz-bad.json"),
+      Seq("{oops", """{"op":"U"}""").mkString("\n").getBytes)
+
+    val listener = CdcIngestJob.attachListener(spark)
+    try {
+      val (q, m) = CdcIngestJob.startWithMetrics(spark, s"$work/wal", conf)
+      q.awaitTermination()
+      assert(m.eventsApplied == wal.count())
+      val t = new LakeTable(spark, conf.tablePath, conf.numBuckets)
+      val got = t.read().select("conv_id", "turn_idx", "text")
+      val exp = TranscriptWal.expectedState(wal).select("conv_id", "turn_idx", "text")
+      assert(got.exceptAll(exp).count() == 0 && exp.exceptAll(got).count() == 0)
+      // the planted corrupt rows surface on the progress bus
+      def corrupt: Long = listener.batches
+        .flatMap(_.observed.get("wal_source_stream"))
+        .map(_.getOrElse("corrupt_records", 0L).asInstanceOf[Long]).sum
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (corrupt < 2 && System.nanoTime() < deadline) Thread.sleep(100)
+      assert(corrupt == 2, s"expected 2 corrupt rows observed, got $corrupt")
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("duplicate WAL file content does not double-apply rows") {
     val (walDir, conf) = workDirs()
     val wal = TranscriptWal.synthetic(spark, 300, 5).cache()
