@@ -52,11 +52,16 @@ final class GraftLakeRelation(override val sqlContext: SQLContext,
 
   private def table = LakeTable.open(sqlContext.sparkSession, path)
 
-  override def schema: StructType =
-    changesSince.map(v => table.changesSince(v).schema)
-      .getOrElse(table.currentSnapshot
-        .map(_.schema)
-        .getOrElse(StructType(Nil)))
+  override def schema: StructType = {
+    val t = table
+    (asOfVersion, changesSince) match {
+      // time travel must expose the TARGET snapshot's schema — an older
+      // version predating an additive evolution has fewer columns
+      case (Some(v), _) => t.readAsOf(v).schema
+      case (_, Some(v)) => t.changesSince(v).schema
+      case _ => t.currentSnapshot.map(_.schema).getOrElse(StructType(Nil))
+    }
+  }
 
   /** conv_id keys a literal equality/IN conjunct demands, if any. */
   private def convKeys(filters: Array[Filter]): Option[Seq[String]] =

@@ -536,6 +536,16 @@ class LakeTableSpec extends AnyFunSuite {
       .option("changesSince", "1").load(t.path)
     assert(feed.count() == b2.count())
     assert(feed.columns.contains("_commit_version"))
+
+    // time travel ACROSS schema evolution: v1 predates the evolved column,
+    // so the source must expose v1's narrower schema, not the current one
+    val t2 = freshTable()
+    t2.merge(wal.drop("tool").where($"lsn" < 300), "t", 1)
+    t2.merge(wal.where($"lsn" >= 300), "t", 2)
+    assert(spark.read.format("graftlake").load(t2.path).columns.contains("tool"))
+    val old = spark.read.format("graftlake").option("asOfVersion", "1").load(t2.path)
+    assert(!old.columns.contains("tool"))
+    assert(old.count() == t2.readAsOf(1).count() && old.count() > 0)
   }
 
   test("lineage metrics accumulate in snapshots") {

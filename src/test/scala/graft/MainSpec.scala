@@ -49,6 +49,17 @@ class MainSpec extends AnyFunSuite {
     assert(!spark.sparkContext.isStopped)
   }
 
+  test("ingest --format json consumes a JSON WAL feed via the CLI") {
+    val work = Files.createTempDirectory("cli-json").toString
+    val wal = TranscriptWal.synthetic(spark, 300, 6)
+    wal.coalesce(1).write.json(s"$work/wal")
+    Main.main(Array("ingest", "--wal", s"$work/wal", "--table", s"$work/t",
+      "--checkpoint", s"$work/cp", "--buckets", "8", "--no-watermark",
+      "--format", "json"))
+    val t = LakeTable.open(spark, s"$work/t")
+    assert(t.read().count() == TranscriptWal.expectedState(wal).count())
+  }
+
   test("unknown command and missing required flags fail loudly") {
     intercept[RuntimeException] { Main.main(Array("frobnicate")) }
     intercept[RuntimeException] { Main.main(Array("compact")) } // no --table
