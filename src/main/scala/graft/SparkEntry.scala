@@ -172,6 +172,25 @@ object SparkEntry {
         .orderBy("conv_id")
     }),
 
+    // A2/A9 — EXACT interpolated percentiles of inter-event gaps per conv
+    // (p50/p95 latency stats — the ops-dashboard aggregation). Spark's
+    // `percentile` and DuckDB's `quantile_cont` share the type-7 linear
+    // interpolation definition; results are floor-quantized to whole
+    // microseconds so the comparison never rides a floating ulp.
+    "q_percentile_gap" -> ((s, dir) => {
+      val wal = TranscriptWal.fromEvents(s, dir)
+      val w = Window.partitionBy("conv_id").orderBy("lsn")
+      wal.withColumn("gap",
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+        .where(col("gap").isNotNull)
+        .groupBy("conv_id")
+        .agg(
+          floor(expr("percentile(gap, 0.5)")).cast("long").as("p50_micros"),
+          floor(expr("percentile(gap, 0.95)")).cast("long").as("p95_micros"),
+          count(lit(1)).as("n_gaps"))
+        .orderBy("conv_id")
+    }),
+
     // A1 — mode statistics: most frequent role per conversation
     // (deterministic tie-break on role).
     "q_mode_role" -> ((s, dir) => {
@@ -889,6 +908,18 @@ object SparkEntry {
            |       round(CAST(sum(gap) AS DOUBLE) / (count(gap) * 1000000.0), 2) AS avg_gap_s,
            |       round(CAST(max(gap) AS DOUBLE) / 1000000.0, 2) AS max_gap_s
            |FROM g GROUP BY conv_id ORDER BY conv_id""".stripMargin,
+
+      "q_percentile_gap" ->
+        s"""$walCte, g AS (
+           |  SELECT conv_id,
+           |         epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY conv_id ORDER BY lsn)) AS gap
+           |  FROM wal)
+           |SELECT conv_id,
+           |       CAST(floor(quantile_cont(gap, 0.5)) AS BIGINT) AS p50_micros,
+           |       CAST(floor(quantile_cont(gap, 0.95)) AS BIGINT) AS p95_micros,
+           |       count(gap) AS n_gaps
+           |FROM g WHERE gap IS NOT NULL
+           |GROUP BY conv_id ORDER BY conv_id""".stripMargin,
 
       "q_mode_role" ->
         s"""$walCte, c AS (
