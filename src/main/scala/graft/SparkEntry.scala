@@ -20,6 +20,30 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Scratch lake dirs for the self-contained queries, deleted on JVM exit.
+    * Deletion cannot happen inside the query (the returned DataFrame reads
+    * the lake lazily), so accumulation was leaking a temp tree per
+    * invocation — a shutdown hook reclaims them all.
+    */
+  private val scratchDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    scratchDirs.forEach { root =>
+      try
+        scala.util.Using.resource(Files.walk(root)) { w =>
+          import scala.jdk.CollectionConverters._
+          w.iterator().asScala.toVector.sortBy(-_.getNameCount)
+            .foreach(p => Files.deleteIfExists(p))
+        }
+      catch { case _: Throwable => () }
+    }))
+
+  private def scratchDir(prefix: String): String = {
+    val d = Files.createTempDirectory(prefix)
+    scratchDirs.add(d)
+    d.toString
+  }
+
   /** Flagship: full CDC apply — derive the WAL from `events`, replay it
     * through the engine into a fresh GraftLake table, read the final state
     * back. Driver smoke-checks rows>0 at sf0.001.
@@ -34,7 +58,7 @@ object SparkEntry {
     // End-to-end engine: WAL → dedup → arbitrate → bucketed idempotent MERGE
     // → final state. The oracle recomputes the same final state in pure SQL.
     "q_cdc_apply" -> ((s, dir) => {
-      val work = Files.createTempDirectory("graftlake").toString
+      val work = scratchDir("graftlake")
       val conf = IngestConfig(tablePath = s"$work/t", checkpointPath = s"$work/cp",
         numBuckets = 16, enforceWatermark = false)
       val wal = TranscriptWal.fromEvents(s, dir)
@@ -48,7 +72,7 @@ object SparkEntry {
     // snapshot's merge-on-read state must equal the arbitrated state of the
     // first batch alone.
     "q_time_travel" -> ((s, dir) => {
-      val work = Files.createTempDirectory("graftlake").toString
+      val work = scratchDir("graftlake")
       val wal = TranscriptWal.fromEvents(s, dir).cache()
       val Array(lo, hi) = wal.agg(min(col("lsn")), max(col("lsn")))
         .collect()(0) match { case r => Array(r.getLong(0), r.getLong(1)) }
@@ -56,6 +80,7 @@ object SparkEntry {
       val t = new graft.lake.LakeTable(s, s"$work/t", numBuckets = 16)
       t.merge(wal.where(col("lsn") < split), "t", 1)
       t.merge(wal.where(col("lsn") >= split), "t", 2)
+      wal.unpersist() // the result reads the lake, not the cached WAL
       t.readAsOf(1)
         .select("conv_id", "turn_idx", "role", "text")
         .orderBy("conv_id", "turn_idx")
@@ -64,7 +89,7 @@ object SparkEntry {
     // INCREMENTAL READ (change-data-feed) — the rows committed after v1 are
     // exactly the second batch, with their commit version attached.
     "q_changes_since" -> ((s, dir) => {
-      val work = Files.createTempDirectory("graftlake").toString
+      val work = scratchDir("graftlake")
       val wal = TranscriptWal.fromEvents(s, dir).cache()
       val Array(lo, hi) = wal.agg(min(col("lsn")), max(col("lsn")))
         .collect()(0) match { case r => Array(r.getLong(0), r.getLong(1)) }
@@ -72,6 +97,7 @@ object SparkEntry {
       val t = new graft.lake.LakeTable(s, s"$work/t", numBuckets = 16)
       t.merge(wal.where(col("lsn") < split), "t", 1)
       t.merge(wal.where(col("lsn") >= split), "t", 2)
+      wal.unpersist() // the result reads the lake, not the cached WAL
       t.changesSince(1)
         .select(col("conv_id"), col("turn_idx"), col("op"),
           col("_lsn").as("lsn"), col("role"), col("text"),
@@ -175,8 +201,12 @@ object SparkEntry {
     // A2/A9 — EXACT interpolated percentiles of inter-event gaps per conv
     // (p50/p95 latency stats — the ops-dashboard aggregation). Spark's
     // `percentile` and DuckDB's `quantile_cont` share the type-7 linear
-    // interpolation definition; results are floor-quantized to whole
-    // microseconds so the comparison never rides a floating ulp.
+    // interpolation definition, but the two engines may evaluate
+    // a+(b-a)*f vs a*(1-f)+b*f — a one-ulp difference that flips a bare
+    // floor() at exact-integer boundaries. Quantizing to a COARSER grid with
+    // a half-offset (floor(x/1000 + 0.5) — round-half-up milliseconds) puts
+    // every boundary 500 µs away from any interpolated value, so a ulp can
+    // never flip the compared integer.
     "q_percentile_gap" -> ((s, dir) => {
       val wal = TranscriptWal.fromEvents(s, dir)
       val w = Window.partitionBy("conv_id").orderBy("lsn")
@@ -185,8 +215,8 @@ object SparkEntry {
         .where(col("gap").isNotNull)
         .groupBy("conv_id")
         .agg(
-          floor(expr("percentile(gap, 0.5)")).cast("long").as("p50_micros"),
-          floor(expr("percentile(gap, 0.95)")).cast("long").as("p95_micros"),
+          floor(expr("percentile(gap, 0.5)") / 1000.0 + 0.5).cast("long").as("p50_millis"),
+          floor(expr("percentile(gap, 0.95)") / 1000.0 + 0.5).cast("long").as("p95_millis"),
           count(lit(1)).as("n_gaps"))
         .orderBy("conv_id")
     }),
@@ -265,7 +295,7 @@ object SparkEntry {
     // S2 — corrupt-record policy: JSON WAL with planted garbage; clean rows
     // pass, rejects counted (warn-and-continue).
     "q_corrupt_source" -> ((s, dir) => {
-      val work = Files.createTempDirectory("corruptwal").toString
+      val work = scratchDir("corruptwal")
       val good = TranscriptWal.fromEvents(s, dir).where(col("lsn") < 100)
       good.coalesce(1).write.mode("overwrite").json(s"$work/wal")
       val bad = Seq("{not json at all", """{"op":"U"}""", """{"lsn":5}""",
@@ -915,8 +945,8 @@ object SparkEntry {
            |         epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY conv_id ORDER BY lsn)) AS gap
            |  FROM wal)
            |SELECT conv_id,
-           |       CAST(floor(quantile_cont(gap, 0.5)) AS BIGINT) AS p50_micros,
-           |       CAST(floor(quantile_cont(gap, 0.95)) AS BIGINT) AS p95_micros,
+           |       CAST(floor(quantile_cont(gap, 0.5) / 1000.0 + 0.5) AS BIGINT) AS p50_millis,
+           |       CAST(floor(quantile_cont(gap, 0.95) / 1000.0 + 0.5) AS BIGINT) AS p95_millis,
            |       count(gap) AS n_gaps
            |FROM g WHERE gap IS NOT NULL
            |GROUP BY conv_id ORDER BY conv_id""".stripMargin,

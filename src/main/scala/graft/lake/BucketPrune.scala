@@ -5,7 +5,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.{
-  And, AttributeReference, EqualTo, Expression, In, InSet, Literal}
+  And, AttributeReference, EqualTo, Expression, In, InSet, Literal, Or}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{
@@ -51,18 +51,30 @@ object BucketPrune extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** Per-root bucket-count cache: one snapshot read per TABLE, not per query
-    * optimization. Safe because a table's bucket layout is immutable —
-    * changing it requires rebucket() into a NEW path (enforced by
-    * LakeTable.checkBuckets).
+  /** Per-root bucket-count cache, VALIDATED against the latest snapshot
+    * file's IDENTITY (name + inode + mtime) on every apply: a LIVE table's
+    * layout is immutable (LakeTable.checkBuckets), but nothing stops a test
+    * or an ops runbook from deleting and recreating a table at the same path
+    * with a different bucket count in one session — a count cached
+    * unconditionally would then prune with the stale layout and silently
+    * drop the rows of every key whose new bucket differs. The name alone is
+    * not enough either: a recreated table's first snapshot is ALSO
+    * v0000000001.json — the inode distinguishes the new file. One
+    * `Files.list` + one attrs stat per optimization is noise next to the
+    * scan it prunes; the snapshot JSON is only re-parsed when the latest
+    * snapshot actually changed.
     */
-  private val nbCache = new java.util.concurrent.ConcurrentHashMap[String, Option[Int]]()
+  private val nbCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (AnyRef, Option[Int])]()
+
+  private def snapIdentity(snap: java.nio.file.Path): AnyRef = {
+    val a = Files.readAttributes(snap,
+      classOf[java.nio.file.attribute.BasicFileAttributes])
+    (snap.getFileName.toString, Option(a.fileKey), a.lastModifiedTime, a.size)
+  }
 
   /** Bucket count from the table's latest snapshot (None ⇒ not a lake). */
-  private def numBucketsOf(root: String): Option[Int] =
-    nbCache.computeIfAbsent(root, readNumBuckets)
-
-  private def readNumBuckets(root: String): Option[Int] = {
+  private def numBucketsOf(root: String): Option[Int] = {
     val snapDir = Paths.get(root, "snapshots")
     if (!Files.isDirectory(snapDir)) return None
     val latest = scala.util.Using.resource(Files.list(snapDir)) { s =>
@@ -71,15 +83,26 @@ object BucketPrune extends Rule[LogicalPlan] {
         .maxByOption(_.substring(1).stripSuffix(".json").toLong)
     }
     latest.flatMap { name =>
-      val node = new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(Files.readString(snapDir.resolve(name)))
-      Option(node.get("numBuckets")).map(_.asInt)
+      val id = snapIdentity(snapDir.resolve(name))
+      val cached = nbCache.get(root)
+      if (cached != null && cached._1 == id) cached._2
+      else {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(Files.readString(snapDir.resolve(name)))
+        val nb = Option(node.get("numBuckets")).map(_.asInt)
+        nbCache.put(root, (id, nb))
+        nb
+      }
     }
   }
 
   /** Literal conv_id keys demanded by the predicate: the intersection of all
-    * top-level `conv_id = lit` / `conv_id IN (lits)` conjuncts (an OR arm or
-    * non-literal comparison yields None ⇒ no pruning).
+    * top-level conjuncts that constrain conv_id, where a conjunct may be an
+    * equality, an IN list, or a DISJUNCTION of such (SQL generators emit
+    * `conv_id='a' OR conv_id='b'` where a human writes IN — the keys of a
+    * disjunction of equalities are just the union). A conjunct mixing in any
+    * non-conv_id-literal arm yields None for that conjunct ⇒ it contributes
+    * no pruning (others still can).
     */
   private def requiredKeys(cond: Expression): Option[Set[String]] = {
     def conjuncts(e: Expression): Seq[Expression] = e match {
@@ -87,6 +110,8 @@ object BucketPrune extends Rule[LogicalPlan] {
       case other     => Seq(other)
     }
     def keysOf(e: Expression): Option[Set[String]] = e match {
+      case Or(l, r) =>
+        for { a <- keysOf(l); b <- keysOf(r) } yield a union b
       case EqualTo(a: AttributeReference, Literal(v, StringType))
         if a.name == "conv_id" && v != null => Some(Set(v.toString))
       case EqualTo(Literal(v, StringType), a: AttributeReference)

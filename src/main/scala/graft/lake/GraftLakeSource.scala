@@ -50,7 +50,10 @@ final class GraftLakeRelation(override val sqlContext: SQLContext,
   require(asOfVersion.isEmpty || changesSince.isEmpty,
     "asOfVersion and changesSince are mutually exclusive")
 
-  private def table = LakeTable.open(sqlContext.sparkSession, path)
+  // lazy VAL, not def: one relation instance pins one snapshot resolution —
+  // a commit landing between schema() and buildScan() must not make the
+  // returned rows disagree with the declared schema within one query.
+  private lazy val table = LakeTable.open(sqlContext.sparkSession, path)
 
   override def schema: StructType = {
     val t = table

@@ -78,12 +78,32 @@ final class LakeTable(val spark: SparkSession, val path: String,
   if (!spark.experimental.extraOptimizations.contains(BucketPrune))
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ BucketPrune
+  // Typed timestamps in table files: Spark's default INT96 parquet encoding
+  // is deprecated AND carries no column statistics, which would blind the
+  // manifest's per-file ts ranges (file skipping). Set once per session —
+  // TIMESTAMP_MICROS round-trips TimestampType exactly.
+  spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
 
   // ---- snapshot model ------------------------------------------------------
 
   final case class BucketState(base: Seq[String], deltas: Seq[String]) {
     def allFiles: Seq[String] = base ++ deltas
   }
+
+  /** Per-file column ranges, read once from the parquet FOOTER at commit time
+    * and persisted in the snapshot — so range queries and maintenance prune
+    * FILES from the manifest alone, without opening a single footer at read
+    * time (at 100 TB that is the difference between a metadata operation and
+    * a scan). `ts` ranges are event-time micros; None when the file has no
+    * non-null ts.
+    */
+  final case class FileStat(minLsn: Long, maxLsn: Long,
+                            minTs: Option[Long], maxTs: Option[Long],
+                            /** op-column footer range proves no 'D' row —
+                              * lets periodic tombstone-GC passes skip whole
+                              * buckets by metadata; false = unknown
+                              * (conservative). */
+                            noTombs: Boolean = false)
 
   final case class Snapshot(
       version: Long,
@@ -92,7 +112,19 @@ final class LakeTable(val spark: SparkSession, val path: String,
       committedEpochs: Map[String, Long],
       highWaterMicros: Long,
       metrics: Map[String, Long],
-      numBuckets: Int
+      numBuckets: Int,
+      /** CHANGE MANIFEST: the delta files this commit itself added (None for
+        * legacy snapshots written before the field existed). [[changesSince]]
+        * reads this instead of diffing bucket states — bucket state is NOT a
+        * change log: an inline compaction inside the same commit folds the
+        * fresh deltas straight into a new base, which would make them
+        * invisible to a state diff and silently drop the commit's rows from
+        * the change feed.
+        */
+      changeFiles: Option[Seq[String]] = None,
+      /** Footer stats for every file referenced by `buckets` or
+        * `changeFiles` (best-effort: a file absent here is never skipped). */
+      fileStats: Map[String, FileStat] = Map.empty
   )
 
   private def snapPath(v: Long): Path = snapDir.resolve(f"v$v%010d.json")
@@ -142,7 +174,19 @@ final class LakeTable(val spark: SparkSession, val path: String,
     val hw = Option(root.get("highWaterMicros")).map(_.asLong)
       .orElse(Option(root.get("highWaterMillis")).map(_.asLong * 1000L))
       .getOrElse(0L)
-    Snapshot(root.get("version").asLong, schema, buckets, epochs, hw, metrics, nb)
+    val changeFiles = Option(root.get("changeFiles"))
+      .map(_.elements().asScala.map(_.asText).toSeq)
+    val fileStats = Option(root.get("fileStats")).map { fs =>
+      fs.fields().asScala.map { e =>
+        val n = e.getValue
+        e.getKey -> FileStat(
+          n.get("minLsn").asLong, n.get("maxLsn").asLong,
+          Option(n.get("minTs")).map(_.asLong), Option(n.get("maxTs")).map(_.asLong),
+          Option(n.get("noTombs")).exists(_.asBoolean))
+      }.toMap
+    }.getOrElse(Map.empty[String, FileStat])
+    Snapshot(root.get("version").asLong, schema, buckets, epochs, hw, metrics, nb,
+      changeFiles, fileStats)
   }
 
   /** Publish a snapshot with compare-and-swap semantics: the tmp file is
@@ -170,6 +214,18 @@ final class LakeTable(val spark: SparkSession, val path: String,
     node.put("numBuckets", s.numBuckets)
     val mn = node.putObject("metrics")
     s.metrics.foreach { case (k, v) => mn.put(k, v) }
+    s.changeFiles.foreach { cf =>
+      val ca = node.putArray("changeFiles"); cf.foreach(ca.add)
+    }
+    if (s.fileStats.nonEmpty) {
+      val fn = node.putObject("fileStats")
+      s.fileStats.foreach { case (f, st) =>
+        val o = fn.putObject(f)
+        o.put("minLsn", st.minLsn); o.put("maxLsn", st.maxLsn)
+        st.minTs.foreach(o.put("minTs", _)); st.maxTs.foreach(o.put("maxTs", _))
+        if (st.noTombs) o.put("noTombs", true)
+      }
+    }
     // tmp name carries a nonce so two racing writers never collide on it
     val tmp = snapDir.resolve(s".v${s.version}-${java.util.UUID.randomUUID()}.tmp")
     Files.writeString(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node))
@@ -199,7 +255,7 @@ final class LakeTable(val spark: SparkSession, val path: String,
       // new columns; Spark's parquet reader fills them with nulls.
       spark.read.schema(schema).parquet(files.map(f => s"$path/$f"): _*)
 
-  /** Arbitrate rows by key: max (_lsn, __pri) wins. Used by both the read
+  /** Arbitrate rows by key: max _lsn wins. Used by both the read
     * path (base ∪ deltas) and compaction. Input must carry op and _lsn.
     *
     * Implemented as a window row_number rather than `max_by(struct, struct)`:
@@ -207,13 +263,14 @@ final class LakeTable(val spark: SparkSession, val path: String,
     * sort-falls-back after 128 groups per partition and spills — measured
     * ~20× slower at millions of keys. The window is one shuffle + an
     * in-memory per-partition sort, the sort-merge shape that scales.
-    * Ties on (_lsn, __pri) occur only between byte-identical rows
-    * (re-applied epochs), so any winner is the same row.
+    * Ties on _lsn occur only between byte-identical rows (re-applied
+    * epochs, or a delta row meeting its own compacted copy), so any winner
+    * is the same row — no secondary tie-break dimension is needed.
     */
   private def arbitrate(rows: DataFrame, payload: StructType): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("_lsn").desc, col("__pri").desc)
+      .orderBy(col("_lsn").desc)
     rows
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)
@@ -258,9 +315,45 @@ final class LakeTable(val spark: SparkSession, val path: String,
     val dirtyPart =
       if (dirty.isEmpty) None
       else Some(arbitrate(
-        scanFiles(dirty.flatMap(_.allFiles), schema).withColumn("__pri", lit(0)),
+        scanFiles(dirty.flatMap(_.allFiles), schema),
         s.schema))
     dirtyPart.fold(cleanPart)(cleanPart.unionByName(_))
+  }
+
+  /** Live state restricted to rows with event time `ts` in
+    * `[loTsMicros, hiTsMicros]`, with manifest-stat FILE skipping: clean
+    * buckets scan only base files whose footer ts range intersects (exact —
+    * a compacted base holds one row per key, so a skipped file's rows could
+    * never be resurrected by rows elsewhere). Dirty buckets are scanned in
+    * full before arbitration: dropping one of their files could promote a
+    * stale revision of a key whose true winner lives in the skipped file, so
+    * correctness forbids pruning there — the steady state (compacted, mostly
+    * clean) is where the skipping pays.
+    */
+  def readTimeRange(loTsMicros: Long, hiTsMicros: Long): DataFrame = currentSnapshot match {
+    case None => spark.emptyDataFrame
+    case Some(s) =>
+      checkBuckets(s)
+      require(s.schema.fieldNames.contains("ts"),
+        s"readTimeRange needs a 'ts' column; table at $path has none")
+      val schema = fileSchema(s.schema)
+      val (dirty, clean) = s.buckets.values.toSeq.partition(_.deltas.nonEmpty)
+      val outCols = (Seq("conv_id", "turn_idx", "op", "_lsn") ++
+        s.schema.fieldNames.filterNot(keyCols.contains)).map(col).toIndexedSeq
+      val cleanFiles = clean.flatMap(_.base).filter { f =>
+        s.fileStats.get(f) match {
+          case Some(st) => st.minTs.forall(_ <= hiTsMicros) && st.maxTs.forall(_ >= loTsMicros)
+          case None     => true
+        }
+      }
+      val cleanPart = scanFiles(cleanFiles, schema).select(outCols: _*)
+      val dirtyPart =
+        if (dirty.isEmpty) None
+        else Some(arbitrate(scanFiles(dirty.flatMap(_.allFiles), schema), s.schema))
+      dirtyPart.fold(cleanPart)(cleanPart.unionByName(_))
+        .where(col("op") =!= "D" &&
+          unix_micros(col("ts")).between(loTsMicros, hiTsMicros))
+        .drop("op", "_lsn")
   }
 
   /** INCREMENTAL READ (change-data-feed): the raw change rows committed
@@ -276,36 +369,121 @@ final class LakeTable(val spark: SparkSession, val path: String,
     * `sinceVersion+1` survive the retention window — a vacuumed history
     * fails loudly rather than silently skipping commits.
     */
-  def changesSince(sinceVersion: Long): DataFrame = currentSnapshot match {
+  def changesSince(sinceVersion: Long): DataFrame =
+    changesWhere(sinceVersion, None)
+
+  /** [[changesSince]] restricted to change rows whose event time `ts` lies in
+    * `[loTsMicros, hiTsMicros]` — the "what changed yesterday" CDC query.
+    * Files whose footer-stat ts range does not intersect are pruned from the
+    * MANIFEST (no footer is opened at read time); skipping raw change files
+    * is exact because the change feed is unarbitrated — every row stands
+    * alone, so dropping a disjoint file can never change another row.
+    */
+  def changesInRange(loTsMicros: Long, hiTsMicros: Long,
+                     sinceVersion: Long = 0L): DataFrame =
+    changesWhere(sinceVersion, Some((loTsMicros, hiTsMicros)))
+
+  private def changesWhere(sinceVersion: Long,
+                           tsRange: Option[(Long, Long)]): DataFrame = currentSnapshot match {
     case None => spark.emptyDataFrame
     case Some(cur) =>
       checkBuckets(cur)
       val schema = fileSchema(cur.schema)
-      val frames = ((sinceVersion + 1) to cur.version).flatMap { w =>
+      // Driver-side metadata walk: one snapshot JSON per commit. The PLAN is
+      // a single parquet scan over the union of every commit's change files —
+      // a consumer catching up over 10^4 commits costs 10^4 manifest reads
+      // (metadata), never a 10^4-arm union plan (the analyzer blowup the
+      // per-commit-scan shape hit at depth).
+      val newFiles = ((sinceVersion + 1) to cur.version).flatMap { w =>
         require(Files.exists(snapPath(w)),
           s"snapshot v$w missing at $path — history vacuumed past " +
             s"changesSince($sinceVersion)'s window")
         val s = readSnapshot(w)
-        val newDeltas = s.buckets.values.flatMap(_.deltas)
-          .filter(f => epochVersionOf(f).contains(w)).toSeq
-        if (newDeltas.isEmpty) None
-        else Some(scanFiles(newDeltas, schema)
-          .withColumn("_commit_version", lit(w)))
+        val files = s.changeFiles.getOrElse {
+          // legacy snapshot without a change manifest: fall back to the state
+          // diff (correct only when commit w did not inline-compact its own
+          // deltas — all post-manifest tables record changeFiles instead)
+          s.buckets.values.flatMap(_.deltas)
+            .filter(f => dirVersionOf(f).contains(w)).toSeq
+        }
+        tsRange match {
+          case None => files
+          case Some((lo, hi)) => files.filter { f =>
+            s.fileStats.get(f) match {
+              case Some(st) => st.minTs.forall(_ <= hi) && st.maxTs.forall(_ >= lo)
+              case None     => true // no stats ⇒ never skip
+            }
+          }
+        }
       }
-      if (frames.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          StructType(schema.fields :+ StructField("_commit_version", LongType)))
-      else frames.reduce(_ unionByName _)
+      val out =
+        if (newFiles.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(schema.fields :+ StructField("_commit_version", LongType)))
+        else
+          // ONE scan; the commit version is recovered from the file path
+          // (delta dirs encode their target version: data/e<ver>-<nonce>/…).
+          scanFiles(newFiles, schema).withColumn("_commit_version",
+            regexp_extract(input_file_name(), "/data/e(\\d+)-", 1).cast("long"))
+      tsRange.fold(out) { case (lo, hi) =>
+        out.where(col("ts").isNotNull &&
+          unix_micros(col("ts")).between(lo, hi))
+      }
   }
 
-  /** Version encoded in a data file's epoch dir (data/e<ver>-<nonce>/…);
-    * None for compaction rewrites (data/e<ver>-c-<nonce>/…).
+  /** Version encoded in a data file's epoch dir — the version of the commit
+    * that (if it succeeded) published the file. Both merge-delta dirs
+    * (data/e<ver>-<nonce>/…) and compaction dirs (data/e<ver>-c-<nonce>/…)
+    * encode it.
     */
-  private def epochVersionOf(file: String): Option[Long] = {
-    val dir = file.split('/')(1) // e0000000012-<nonce> | e0000000012-c-<nonce>
+  private def dirVersionOf(file: String): Option[Long] = {
+    val dir = file.split('/')(1)
     val parts = dir.split('-')
-    if (parts.length >= 2 && parts(1) == "c") None
-    else Some(parts(0).drop(1).toLong)
+    if (parts.isEmpty || !parts(0).startsWith("e")) None
+    else parts(0).drop(1).toLongOption
+  }
+
+  /** Footer column ranges of freshly-written files, read ONCE at commit time
+    * (driver-side; the footer is a few KB — one open per new file per epoch,
+    * metadata-cost not scan-cost). Best-effort: a file whose stats cannot be
+    * read is simply absent from the map and never skipped.
+    */
+  private def readFileStats(relFiles: Seq[String]): Map[String, FileStat] = {
+    val hconf = spark.sessionState.newHadoopConf()
+    relFiles.flatMap { rel =>
+      try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(s"$path/$rel"), hconf)
+        scala.util.Using.resource(org.apache.parquet.hadoop.ParquetFileReader.open(in)) { r =>
+          val blocks = r.getFooter.getBlocks.asScala.toSeq
+          def colRange(name: String): Option[(Long, Long)] = {
+            val cols = blocks.flatMap(_.getColumns.asScala)
+              .filter(_.getPath.toDotString == name)
+            val stats = cols.map(_.getStatistics)
+              .filter(s => s != null && s.hasNonNullValue)
+            if (stats.isEmpty || stats.size != cols.size) None
+            else Some((
+              stats.map(_.genericGetMin.asInstanceOf[Number].longValue).min,
+              stats.map(_.genericGetMax.asInstanceOf[Number].longValue).max))
+          }
+          // op column: min/max over {'D','U'} — a min above "D" proves the
+          // file holds no tombstone (GC-skippable by metadata alone).
+          def noTombs: Boolean = {
+            val cols = blocks.flatMap(_.getColumns.asScala)
+              .filter(_.getPath.toDotString == "op")
+            val stats = cols.map(_.getStatistics)
+              .filter(s => s != null && s.hasNonNullValue)
+            stats.nonEmpty && stats.size == cols.size && stats.forall { s =>
+              new String(s.getMinBytes, java.nio.charset.StandardCharsets.UTF_8) != "D"
+            }
+          }
+          colRange("_lsn").map { case (lmin, lmax) =>
+            val ts = colRange("ts")
+            rel -> FileStat(lmin, lmax, ts.map(_._1), ts.map(_._2), noTombs)
+          }
+        }
+      } catch { case _: Exception => None }
+    }.toMap
   }
 
   // ---- merge (the sink) ----------------------------------------------------
@@ -445,9 +623,20 @@ final class LakeTable(val spark: SparkSession, val path: String,
       val needCompact = withDeltas
         .filter { case (_, st) => deltaEpochCount(st) > maxDeltasPerBucket }
         .keys.toSeq
-      val finalBuckets =
-        if (needCompact.isEmpty) withDeltas
+      val (finalBuckets, compactFiles) =
+        if (needCompact.isEmpty) (withDeltas, Nil)
         else phased("compact")(compactBuckets(withDeltas, needCompact, unified, version))
+
+      // Change manifest = the delta files THIS commit wrote — recorded even
+      // when inline compaction immediately folds them into a new base, so the
+      // change feed never loses a commit's rows (the files stay on disk;
+      // vacuum keeps every kept snapshot's change files).
+      val newDeltaFiles = touched.flatMap(newFiles(_)).sorted
+      val newStats = phased("stats")(readFileStats(newDeltaFiles ++ compactFiles))
+      val referenced = finalBuckets.values.flatMap(_.allFiles).toSet ++ newDeltaFiles
+      val fileStats =
+        (prev.map(_.fileStats).getOrElse(Map.empty) ++ newStats)
+          .filter { case (f, _) => referenced.contains(f) }
 
       val snapshot = Snapshot(
         version = version,
@@ -459,7 +648,9 @@ final class LakeTable(val spark: SparkSession, val path: String,
         metrics = Map(
           "last_events" -> events, "last_upserts" -> (events - deletes),
           "last_deletes" -> deletes,
-          "total_events" -> (prev.flatMap(_.metrics.get("total_events")).getOrElse(0L) + events))
+          "total_events" -> (prev.flatMap(_.metrics.get("total_events")).getOrElse(0L) + events)),
+        changeFiles = Some(newDeltaFiles),
+        fileStats = fileStats
       )
       writeSnapshot(snapshot)
       MergeResult(applied = true, version, events, events - deletes, deletes,
@@ -497,10 +688,11 @@ final class LakeTable(val spark: SparkSession, val path: String,
     */
   private def compactBuckets(buckets: Map[Int, BucketState], targets: Seq[Int],
                              schema: StructType, version: Long,
-                             dropTombstonesBelowLsn: Option[Long] = None): Map[Int, BucketState] = {
+                             dropTombstonesBelowLsn: Option[Long] = None)
+      : (Map[Int, BucketState], Seq[String]) = {
     val fSchema = fileSchema(schema)
     val files = targets.flatMap(b => buckets(b).allFiles)
-    val rows = scanFiles(files, fSchema).withColumn("__pri", lit(0))
+    val rows = scanFiles(files, fSchema)
     val arbitrated = arbitrate(rows, schema)
     val compacted = dropTombstonesBelowLsn.fold(arbitrated)(h =>
       arbitrated.where(!(col("op") === "D" && col("_lsn") < lit(h))))
@@ -513,9 +705,10 @@ final class LakeTable(val spark: SparkSession, val path: String,
       .write.mode("overwrite").option("compression", compression)
       .partitionBy("b").parquet(s"$path/$rel")
     val newFiles = listBucketFiles(rel, targets)
-    targets.foldLeft(buckets) { (acc, b) =>
+    val updated = targets.foldLeft(buckets) { (acc, b) =>
       acc + (b -> BucketState(base = newFiles.getOrElse(b, Nil), deltas = Nil))
     }
+    (updated, newFiles.values.flatten.toSeq.sorted)
   }
 
   /** Bucket-pruned point lookup: computes the hash bucket of the key and
@@ -548,8 +741,8 @@ final class LakeTable(val spark: SparkSession, val path: String,
       val dirtyPart =
         if (dirty.isEmpty) None
         else Some(arbitrate(
-          scanFiles(dirty.flatMap(_.allFiles), schema).where(keyFilter)
-            .withColumn("__pri", lit(0)), s.schema))
+          scanFiles(dirty.flatMap(_.allFiles), schema).where(keyFilter),
+          s.schema))
       dirtyPart.fold(cleanPart)(cleanPart.unionByName(_))
         .where(col("op") =!= "D").drop("op", "_lsn")
   }
@@ -562,13 +755,31 @@ final class LakeTable(val spark: SparkSession, val path: String,
   def compactAll(dropTombstonesBelowLsn: Option[Long] = None): Unit = {
     currentSnapshot.foreach { s =>
       val targets =
-        if (dropTombstonesBelowLsn.isDefined) s.buckets.keys.toSeq
-        else s.buckets.filter(_._2.deltas.nonEmpty).keys.toSeq
+        dropTombstonesBelowLsn match {
+          case Some(h) =>
+            // GC pass, stats-pruned: a delta-free bucket whose every base
+            // file provably holds either no tombstone at all (op footer range
+            // excludes 'D') or only rows with lsn ≥ the horizon cannot yield
+            // a single GC-able tombstone — rewriting it would be a
+            // byte-identical copy. The manifest stats answer that without
+            // opening one file, so a periodic GC pass over a mostly-cold
+            // 100 TB table is a metadata walk, not a full rewrite. Buckets
+            // with deltas, or any file missing stats, rewrite conservatively.
+            s.buckets.filter { case (_, st) =>
+              st.deltas.nonEmpty || st.base.exists(f =>
+                s.fileStats.get(f).forall(fs => !fs.noTombs && fs.minLsn < h))
+            }.keys.toSeq
+          case None => s.buckets.filter(_._2.deltas.nonEmpty).keys.toSeq
+        }
       if (targets.nonEmpty) {
         val version = s.version + 1
-        val finalBuckets = compactBuckets(s.buckets, targets, s.schema, version,
-          dropTombstonesBelowLsn)
-        writeSnapshot(s.copy(version = version, buckets = finalBuckets))
+        val (finalBuckets, newFiles) = compactBuckets(s.buckets, targets,
+          s.schema, version, dropTombstonesBelowLsn)
+        val referenced = finalBuckets.values.flatMap(_.allFiles).toSet
+        writeSnapshot(s.copy(version = version, buckets = finalBuckets,
+          changeFiles = Some(Nil), // maintenance rewrite: no new changes
+          fileStats = (s.fileStats ++ readFileStats(newFiles))
+            .filter { case (f, _) => referenced.contains(f) }))
       }
     }
   }
@@ -597,7 +808,7 @@ final class LakeTable(val spark: SparkSession, val path: String,
       case Some(s) =>
         checkBuckets(s)
         val rows = scanFiles(s.buckets.values.flatMap(_.allFiles).toSeq,
-          fileSchema(s.schema)).withColumn("__pri", lit(0))
+          fileSchema(s.schema))
         val state = arbitrate(rows, s.schema) // op + payload + _lsn, one row/key
         val batch = state
           .withColumn("lsn", col("_lsn"))
@@ -620,11 +831,25 @@ final class LakeTable(val spark: SparkSession, val path: String,
     * trailing snapshots whose files stay physically present, i.e. the window
     * in which an in-flight read is safe from deletion. The default of 2
     * protects reads concurrent with one commit; pass 1 only when no reader
-    * can be in flight (tests, single-process maintenance).
+    * can be in flight (tests, single-process maintenance). Kept snapshots
+    * retain their CHANGE files too (even ones compaction already folded
+    * away), so `changesSince` stays readable over the kept window.
+    *
+    * WRITER SAFETY: a concurrent merge writes its delta dir FIRST and
+    * CAS-publishes the snapshot AFTER — between those steps its files look
+    * exactly like unreferenced orphans. They are not eligible: a file whose
+    * epoch dir encodes a TARGET VERSION greater than the latest committed
+    * snapshot belongs to an in-flight writer and is never deleted. A lost
+    * racer's dir encodes the version its WINNER committed (≤ latest), so
+    * true orphans still age into eligibility. `inFlightGraceMs` additionally
+    * protects recently-written files by mtime (covers a writer that crashed
+    * and will retry under the same target version after another writer
+    * commits it); 0 disables the grace — single-writer deployments and
+    * tests need no delay.
     *
     * @return (snapshotsDeleted, dataFilesDeleted)
     */
-  def vacuum(keepSnapshots: Int = 2): (Int, Int) = latestVersion match {
+  def vacuum(keepSnapshots: Int = 2, inFlightGraceMs: Long = 0L): (Int, Int) = latestVersion match {
     case None => (0, 0)
     case Some(latest) =>
       val keepVersions = listDir(snapDir)
@@ -632,14 +857,21 @@ final class LakeTable(val spark: SparkSession, val path: String,
         .map(n => n.substring(1, n.length - 5).toLong)
         .sorted.takeRight(math.max(1, keepSnapshots)).toSet
       val referenced: Set[String] = keepVersions.flatMap { v =>
-        readSnapshot(v).buckets.values.flatMap(_.allFiles)
+        val s = readSnapshot(v)
+        s.buckets.values.flatMap(_.allFiles) ++ s.changeFiles.getOrElse(Nil)
       }
       val dataRoot = Paths.get(path, "data")
+      val mtimeFloor = System.currentTimeMillis() - inFlightGraceMs
       var dataDeleted = 0
       scala.util.Using.resource(Files.walk(dataRoot)) { walk =>
         walk.iterator().asScala.filter(p => Files.isRegularFile(p)).foreach { p =>
           val rel = Paths.get(path).relativize(p).toString.replace('\\', '/')
-          if (!referenced.contains(rel)) { Files.delete(p); dataDeleted += 1 }
+          val inFlight = dirVersionOf(rel).exists(_ > latest) ||
+            (inFlightGraceMs > 0L &&
+              Files.getLastModifiedTime(p).toMillis > mtimeFloor)
+          if (!referenced.contains(rel) && !inFlight) {
+            Files.delete(p); dataDeleted += 1
+          }
         }
       }
       // prune now-empty epoch/bucket dirs (deepest-first)

@@ -28,7 +28,15 @@ object DedupOps {
     * still carries hashes, never the text as a key.
     */
   def exact(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val w = Window.partitionBy(xxhash64(col(textCol)), md5(col(textCol)))
+    // Null-text rows are NOT duplicates of one another: xxhash64(null)
+    // collapses to the seed and md5(null) to null, which would funnel every
+    // null-text row into ONE window partition and delete all but the min-id
+    // row (the same hazard flagBoilerplate guards against). Adding the id to
+    // the partition key when text is null makes each such row its own
+    // singleton group — passed through unchanged, and no skewed partition
+    // holding all nulls either.
+    val nullKey = when(col(textCol).isNull, col(idCol))
+    val w = Window.partitionBy(xxhash64(col(textCol)), md5(col(textCol)), nullKey)
       .orderBy(col(idCol))
     df.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn")

@@ -103,9 +103,12 @@ object CdcIngestJob {
 
     // Epoch namespace must be scoped to the checkpoint: batchIds restart at 0
     // for a new checkpoint, so a table fed by successive streams (or multiple
-    // writers) needs one committed-epoch counter per checkpoint lineage.
-    val epochNs = "cdc-" + java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(conf.checkpointPath).toLong & 0xffffffffL)
+    // writers) needs one committed-epoch counter per checkpoint lineage. The
+    // FULL path is the key (one snapshot-manifest entry per stream, not per
+    // row — length is irrelevant): a 32-bit hash of it would collide two
+    // checkpoint lineages at the birthday bound and make one stream's batchId
+    // silently suppress the other's merges.
+    val epochNs = "cdc-" + conf.checkpointPath
     stream.writeStream
       .option("checkpointLocation", conf.checkpointPath)
       .trigger(Trigger.AvailableNow())

@@ -192,8 +192,11 @@ class LakeTableSpec extends AnyFunSuite {
     }
     t.compactAll() // supersedes every delta
     val root = java.nio.file.Paths.get(t.path)
-    // plant an orphan from a "crashed write"
-    val orphanDir = root.resolve("data/e9999999999/b=0")
+    // plant an orphan from a LOST COMMIT RACE: its epoch dir encodes a
+    // version the winner has already committed (≤ latest) — eligible for GC.
+    // (A FUTURE-version dir would be an in-flight writer and is protected —
+    // covered by the dedicated vacuum-vs-writer race test.)
+    val orphanDir = root.resolve("data/e0000000002-deadbeef/b=0")
     Files.createDirectories(orphanDir)
     Files.writeString(orphanDir.resolve("part-orphan.parquet"), "junk")
     val before = t.read().orderBy("conv_id", "turn_idx").collect().toSeq
@@ -557,5 +560,210 @@ class LakeTableSpec extends AnyFunSuite {
     assert(snap.metrics("last_deletes") == r.deletes)
     assert(r.events == r.upserts + r.deletes)
     assert(snap.metrics("total_events") == r.events)
+  }
+
+  test("changesSince survives inline compaction of its own commit") {
+    // maxDeltasPerBucket=1 + few convs ⇒ merges regularly trip INLINE
+    // compaction, which folds the just-written deltas into a new base within
+    // the same snapshot. The change manifest must still serve those rows —
+    // a state diff would return nothing for that commit (lost tombstones ⇒
+    // downstream resurrection).
+    val t = new LakeTable(spark, Files.createTempDirectory("lake").toString,
+      numBuckets = 2, maxDeltasPerBucket = 1)
+    val batches = (1 to 5).map { i =>
+      i -> TranscriptWal.synthetic(spark, 150, 3, deleteFraction = 0.2,
+        lsnOffset = i * 1000000L).cache()
+    }
+    var sawInlineCompaction = false
+    batches.foreach { case (i, b) =>
+      val r = t.merge(b, "t", i)
+      if (r.compactedBuckets > 0) sawInlineCompaction = true
+      val feed = t.changesSince(r.version - 1)
+        .select($"conv_id", $"turn_idx", $"op", $"_lsn".as("lsn"))
+      val exp = b.select("conv_id", "turn_idx", "op", "lsn")
+      assert(feed.exceptAll(exp).count() == 0 && exp.exceptAll(feed).count() == 0,
+        s"commit $i changed rows lost from the feed (compacted=${r.compactedBuckets})")
+    }
+    assert(sawInlineCompaction, "fixture must actually trip inline compaction")
+    // tombstones specifically survive into the feed
+    assert(t.changesSince(0).where($"op" === "D").count() > 0)
+    batches.foreach(_._2.unpersist())
+  }
+
+  test("changesSince plan stays O(1) scans over a deep commit history") {
+    val t = freshTable(buckets = 2)
+    val n = 55
+    (1 to n).foreach { i =>
+      t.merge(TranscriptWal.synthetic(spark, 8, 2, lsnOffset = i * 1000L), "t", i)
+    }
+    val feed = t.changesSince(0)
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val scans = feed.queryExecution.optimizedPlan.collect {
+      case LogicalRelation(_: HadoopFsRelation, _, _, _, _) => 1
+    }.sum
+    assert(scans == 1, s"deep catch-up must plan ONE scan, got $scans")
+    assert(feed.count() == n * 8L)
+    val versions = feed.select("_commit_version").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(versions == (1L to n.toLong).toSet,
+      "commit versions recovered from file paths for every commit")
+  }
+
+  test("vacuum never deletes an in-flight writer's files; lost racers age out") {
+    val t = freshTable(buckets = 4)
+    t.merge(TranscriptWal.synthetic(spark, 400, 8), "t", 1)
+    t.merge(TranscriptWal.synthetic(spark, 400, 8, lsnOffset = 1000000L), "t", 2)
+    val root = java.nio.file.Paths.get(t.path)
+    def plant(rel: String): java.nio.file.Path = {
+      val p = root.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, "junk")
+      p
+    }
+    // In-flight writer: delta dir targets version 3 — NOT yet committed
+    // (latest is 2). Vacuum must leave it alone, else the writer's imminent
+    // CAS commit would reference deleted files.
+    val inFlight = plant("data/e0000000003-aaaaaaaa/b=0/part-inflight.parquet")
+    // Lost racer: dir encodes version 2, which a WINNER already committed —
+    // a true orphan, eligible.
+    val lostRacer = plant("data/e0000000002-bbbbbbbb/b=0/part-loser.parquet")
+    val (_, _) = t.vacuum(keepSnapshots = 1)
+    assert(Files.exists(inFlight), "in-flight writer's files must survive vacuum")
+    assert(!Files.exists(lostRacer), "lost racer's orphans are reclaimed")
+    // mtime grace: an old-version orphan written moments ago survives when a
+    // grace window is configured (crashed-writer protection)
+    val fresh = plant("data/e0000000001-cccccccc/b=0/part-fresh.parquet")
+    t.vacuum(keepSnapshots = 1, inFlightGraceMs = 3600L * 1000L)
+    assert(Files.exists(fresh), "grace window protects recently-written files")
+    t.vacuum(keepSnapshots = 1)
+    assert(!Files.exists(fresh), "without grace the orphan is reclaimed")
+    // and the in-flight commit can still complete: readers see v3 cleanly
+    // (files were not deleted under it) — simulate by checking the dir intact
+    assert(Files.exists(inFlight))
+  }
+
+  test("BucketPrune survives delete-and-recreate at the same path with a new bucket count") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val path = Files.createTempDirectory("lake-recreate").toString
+    val wal = TranscriptWal.synthetic(spark, 800, 20).cache()
+    // pick a key whose bucket DIFFERS between the two layouts, so a stale
+    // cached count provably prunes the wrong bucket
+    val key = (0 until 20).map(i => s"c$i")
+      .find(k => LakeTable.bucketOf(k, 8) != LakeTable.bucketOf(k, 4)).get
+    val t8 = new LakeTable(spark, path, numBuckets = 8)
+    t8.merge(wal, "t", 1)
+    // prime the rule's cache with the 8-bucket layout
+    val r1 = t8.read().where($"conv_id" === key).count()
+    assert(r1 > 0)
+    // delete-and-recreate the table at the SAME path with 4 buckets
+    scala.util.Using.resource(Files.walk(java.nio.file.Paths.get(path))) { w =>
+      import scala.jdk.CollectionConverters._
+      w.iterator().asScala.toVector.sortBy(-_.getNameCount).foreach(Files.delete)
+    }
+    val t4 = new LakeTable(spark, path, numBuckets = 4)
+    t4.merge(wal, "t", 1)
+    val q = t4.read().where($"conv_id" === key)
+    val expected = t4.read().collect().count(_.getString(0) == key)
+    assert(q.count() == expected && expected > 0,
+      "stale cached bucket count must not silently drop rows")
+    // and pruning is STILL ACTIVE for the live layout (not just disabled)
+    val scanned = q.queryExecution.optimizedPlan.collect {
+      case LogicalRelation(rel: HadoopFsRelation, _, _, _, _) =>
+        rel.location.inputFiles.toSeq
+    }.flatten.map(f => f.substring(f.indexOf("data/"))).toSet
+    val expectFiles = t4.currentSnapshot.get
+      .buckets(LakeTable.bucketOf(key, 4)).allFiles.toSet
+    assert(scanned == expectFiles, "pruning active under the recreated layout")
+    wal.unpersist()
+  }
+
+  test("BucketPrune handles OR-of-equalities like an IN list") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val t = freshTable(buckets = 8)
+    val wal = TranscriptWal.synthetic(spark, 1200, 20)
+    t.merge(wal, "t", 1)
+    t.compactAll()
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case LogicalRelation(rel: HadoopFsRelation, _, _, _, _) =>
+          rel.location.inputFiles.toSeq
+      }.flatten.map(f => f.substring(f.indexOf("data/"))).toSet
+    // SQL generators emit OR-of-equalities where humans write IN
+    val q = t.read().where($"conv_id" === "c3" || $"conv_id" === "c7")
+    val expectFiles = Set("c3", "c7").map(LakeTable.bucketOf(_, 8))
+      .flatMap(b => t.currentSnapshot.get.buckets(b).allFiles)
+    assert(scannedFiles(q) == expectFiles, "OR of equalities prunes to the union")
+    assert(scannedFiles(q).size < scannedFiles(t.read()).size)
+    // correctness: equals the IN form
+    val viaIn = t.read().where($"conv_id".isin("c3", "c7"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(q.collect().map(_.toString).sorted.toSeq == viaIn && viaIn.nonEmpty)
+    // mixed OR arms must NOT prune (would drop rows)
+    val mixed = t.read().where($"conv_id" === "c3" || $"turn_idx" === 0)
+    assert(scannedFiles(mixed) == scannedFiles(t.read()))
+  }
+
+  test("manifest file stats: changesInRange and readTimeRange skip files by metadata") {
+    val t = freshTable(buckets = 4)
+    // synthetic ts = 1704067200 + lsn*2 seconds ⇒ disjoint per-batch ranges.
+    // Distinct seeds: each batch draws a different key set, so the live
+    // state keeps winners from every batch (same-seed batches would be pure
+    // overwrites — batch 3 would own every key).
+    val batches = (0 to 2).map { i =>
+      i -> TranscriptWal.synthetic(spark, 200, 6, seed = 100L + i,
+        lsnOffset = i * 1000000L).cache()
+    }
+    batches.foreach { case (i, b) => t.merge(b, "t", i + 1) }
+    def tsBounds(i: Int): (Long, Long) = {
+      val base = 1704067200L * 1000000L
+      (base + (i * 1000000L) * 2000000L, base + ((i + 1) * 1000000L - 1) * 2000000L)
+    }
+    // change feed restricted to batch 1's ts range: only v2's files scanned
+    val (lo1, hi1) = tsBounds(1)
+    val feed = t.changesInRange(lo1, hi1)
+    val v2Files = {
+      // readSnapshot is private — recover v2's change files via its feed
+      t.changesSince(1).where($"_commit_version" === 2)
+    }
+    assert(feed.count() == batches(1)._2.count())
+    val feedFiles = feed.inputFiles.map(f => f.substring(f.indexOf("data/"))).toSet
+    val allChangeFiles = t.changesSince(0).inputFiles
+      .map(f => f.substring(f.indexOf("data/"))).toSet
+    assert(feedFiles.nonEmpty && feedFiles.size < allChangeFiles.size,
+      s"stats must prune change files: ${feedFiles.size} vs ${allChangeFiles.size}")
+    assert(feedFiles.forall(_.startsWith("data/e0000000002-")),
+      "only the matching commit's files are opened")
+    // arbitrated time-range read: correctness + zero files opened for a
+    // range outside the data
+    t.compactAll()
+    val inRange = t.readTimeRange(lo1, hi1)
+      .select("conv_id", "turn_idx", "text").collect().map(_.toString).sorted.toSeq
+    val expected = t.read()
+      .where(unix_micros($"ts").between(lo1, hi1))
+      .select("conv_id", "turn_idx", "text").collect().map(_.toString).sorted.toSeq
+    assert(inRange == expected && expected.nonEmpty)
+    val outside = t.readTimeRange(4102444800L * 1000000L, 4102444801L * 1000000L)
+    assert(outside.inputFiles.isEmpty,
+      "a range outside every file's stats opens ZERO files (clean table)")
+    assert(outside.count() == 0)
+    batches.foreach(_._2.unpersist())
+    val _ = v2Files
+  }
+
+  test("tombstone GC skips provably-clean buckets by manifest stats") {
+    val t = freshTable(buckets = 4)
+    t.merge(TranscriptWal.synthetic(spark, 500, 8, deleteFraction = 0.2), "t", 1)
+    t.compactAll() // v2: bases still carry tombstones
+    t.compactAll(dropTombstonesBelowLsn = Some(10000000L)) // v3: GC rewrite
+    val v3 = t.latestVersion.get
+    // second GC pass: every bucket is provably tombstone-free (op footer
+    // range excludes 'D') ⇒ metadata-only no-op, no new snapshot
+    t.compactAll(dropTombstonesBelowLsn = Some(10000000L))
+    assert(t.latestVersion.get == v3,
+      "GC with nothing to collect must not rewrite a single bucket")
+    // the stats actually recorded the proof
+    val s = t.currentSnapshot.get
+    val baseFiles = s.buckets.values.flatMap(_.base)
+    assert(baseFiles.nonEmpty && baseFiles.forall(f => s.fileStats(f).noTombs))
   }
 }
