@@ -105,6 +105,82 @@ object SparkEntry {
         .orderBy("conv_id", "turn_idx", "lsn", "op")
     }),
 
+    // DSv2 CONNECTOR — the same CDC apply, but the final state is read back
+    // through `spark.read.format("graftlake")` over the COMPACTED table:
+    // exercises the columnar BatchScan path (tombstone-split bases, pruned
+    // file index) end-to-end against the same oracle as q_cdc_apply.
+    "q_dsv2_scan" -> ((s, dir) => {
+      val work = scratchDir("graftlake")
+      val conf = IngestConfig(tablePath = s"$work/t", checkpointPath = s"$work/cp",
+        numBuckets = 16, enforceWatermark = false)
+      val wal = TranscriptWal.fromEvents(s, dir)
+      val table = CdcIngestJob.replayBatch(s, wal, conf)
+      table.compactAll() // all buckets clean+split ⇒ columnar eligibility
+      s.read.format("graftlake").load(table.path)
+        .select("conv_id", "turn_idx", "role", "text", "tool")
+        .orderBy("conv_id", "turn_idx")
+    }),
+
+    // SQL WRITE SURFACE — INSERT INTO a graftlake view commits an upsert
+    // epoch; fresh keys append, an existing key is superseded by the
+    // auto-allocated lsn (last-writer-wins against all prior state).
+    "q_sql_insert" -> ((s, dir) => {
+      val work = scratchDir("graftlake")
+      val conf = IngestConfig(tablePath = s"$work/t", checkpointPath = s"$work/cp",
+        numBuckets = 16, enforceWatermark = false)
+      val wal = TranscriptWal.fromEvents(s, dir)
+      val table = CdcIngestJob.replayBatch(s, wal, conf)
+      val view = s"ins_${Math.abs(work.hashCode)}"
+      s.sql(s"CREATE OR REPLACE TEMPORARY VIEW $view " +
+        s"USING graftlake OPTIONS (path '${table.path}')")
+      s.sql(s"INSERT INTO $view VALUES " +
+        "('zz_sql', 0, 'user', 'inserted via sql', NULL, TIMESTAMP'2024-06-01 00:00:00')," +
+        "('zz_sql', 1, 'assistant', 'ack', NULL, TIMESTAMP'2024-06-01 00:00:01')")
+      table.read()
+        .select("conv_id", "turn_idx", "role", "text", "tool")
+        .orderBy("conv_id", "turn_idx")
+    }),
+
+    // CHANGE FEED, TIME-WINDOWED — raw change rows whose event time falls in
+    // the middle half of the stream, served with manifest-stat file skipping
+    // (exact: the feed is unarbitrated).
+    "q_changes_range" -> ((s, dir) => {
+      val work = scratchDir("graftlake")
+      val wal = TranscriptWal.fromEvents(s, dir).cache()
+      val Array(lo, hi) = wal.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+        .collect()(0) match { case r => Array(r.getLong(0), r.getLong(1)) }
+      val Array(lsnLo, lsnHi) = wal.agg(min(col("lsn")), max(col("lsn")))
+        .collect()(0) match { case r => Array(r.getLong(0), r.getLong(1)) }
+      val split = Math.floorDiv(lsnLo + lsnHi, 2L)
+      val t = new graft.lake.LakeTable(s, s"$work/t", numBuckets = 16)
+      t.merge(wal.where(col("lsn") < split), "t", 1)
+      t.merge(wal.where(col("lsn") >= split), "t", 2)
+      wal.unpersist()
+      val span = hi - lo
+      t.changesInRange(lo + span / 4, lo + (3 * span) / 4)
+        .select(col("conv_id"), col("turn_idx"), col("op"),
+          col("_lsn").as("lsn"), col("role"))
+        .orderBy("conv_id", "turn_idx", "lsn", "op")
+    }),
+
+    // ARBITRATED TIME-RANGE READ — live rows whose (winning) event time
+    // falls in the window; clean buckets skip non-intersecting base files
+    // from the manifest alone.
+    "q_time_range" -> ((s, dir) => {
+      val work = scratchDir("graftlake")
+      val conf = IngestConfig(tablePath = s"$work/t", checkpointPath = s"$work/cp",
+        numBuckets = 16, enforceWatermark = false)
+      val wal = TranscriptWal.fromEvents(s, dir).cache()
+      val Array(lo, hi) = wal.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+        .collect()(0) match { case r => Array(r.getLong(0), r.getLong(1)) }
+      val table = CdcIngestJob.replayBatch(s, wal, conf)
+      wal.unpersist()
+      val span = hi - lo
+      table.readTimeRange(lo + span / 4, lo + (3 * span) / 4)
+        .select("conv_id", "turn_idx", "role", "text")
+        .orderBy("conv_id", "turn_idx")
+    }),
+
     // F1 — exact duplicate events (same key+lsn) collapse to one.
     "q_cdc_dedup" -> ((s, dir) => {
       val wal = TranscriptWal.fromEvents(s, dir)
@@ -828,6 +904,53 @@ object SparkEntry {
            |  FROM wal)
            |SELECT conv_id, turn_idx, role, text, tool
            |FROM latest WHERE rn = 1 AND op <> 'D'
+           |ORDER BY conv_id, turn_idx""".stripMargin,
+
+      // Same semantics as q_cdc_apply — the engine-side difference (compacted
+      // table read back via the DSv2 columnar scan) must be invisible.
+      "q_dsv2_scan" ->
+        s"""$walCte, latest AS (
+           |  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+           |  FROM wal)
+           |SELECT conv_id, turn_idx, role, text, tool
+           |FROM latest WHERE rn = 1 AND op <> 'D'
+           |ORDER BY conv_id, turn_idx""".stripMargin,
+
+      // The applied state plus the two SQL-inserted rows (fresh key zz_sql).
+      "q_sql_insert" ->
+        s"""$walCte, latest AS (
+           |  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+           |  FROM wal),
+           |state AS (
+           |  SELECT conv_id, turn_idx, role, text, tool
+           |  FROM latest WHERE rn = 1 AND op <> 'D')
+           |SELECT * FROM (
+           |  SELECT * FROM state
+           |  UNION ALL SELECT 'zz_sql', 0, 'user', 'inserted via sql', NULL
+           |  UNION ALL SELECT 'zz_sql', 1, 'assistant', 'ack', NULL
+           |) ORDER BY conv_id, turn_idx""".stripMargin,
+
+      // Raw change rows in the middle half of the event-time span.
+      "q_changes_range" ->
+        s"""$walCte, b AS (
+           |  SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM wal)
+           |SELECT conv_id, turn_idx, op, lsn, role
+           |FROM wal, b
+           |WHERE epoch_us(ts) BETWEEN b.lo + (b.hi - b.lo) // 4
+           |                       AND b.lo + (3 * (b.hi - b.lo)) // 4
+           |ORDER BY conv_id, turn_idx, lsn, op""".stripMargin,
+
+      // Live state whose winning row's event time falls in the middle half.
+      "q_time_range" ->
+        s"""$walCte, latest AS (
+           |  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+           |  FROM wal),
+           |b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM wal)
+           |SELECT conv_id, turn_idx, role, text
+           |FROM latest, b
+           |WHERE rn = 1 AND op <> 'D'
+           |  AND epoch_us(ts) BETWEEN b.lo + (b.hi - b.lo) // 4
+           |                       AND b.lo + (3 * (b.hi - b.lo)) // 4
            |ORDER BY conv_id, turn_idx""".stripMargin,
 
       // Arbitrated state of the sub-split half of the WAL = what time travel

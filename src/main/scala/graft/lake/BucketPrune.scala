@@ -40,8 +40,9 @@ import org.apache.spark.sql.types.StringType
   */
 object BucketPrune extends Rule[LogicalPlan] {
 
-  /** file path → (tableRoot, bucket), if it matches the GraftLake layout. */
-  private val layout = ".*/data/[^/]+/b=(\\d+)/[^/]+$".r
+  /** file path → (tableRoot, bucket), if it matches the GraftLake layout
+    * (split-format compaction adds an optional __dead= routing dir). */
+  private val layout = ".*/data/[^/]+/b=(\\d+)(?:/__dead=(?:true|false))?/[^/]+$".r
 
   private def parse(file: String): Option[(String, Int)] = file match {
     case layout(b) =>

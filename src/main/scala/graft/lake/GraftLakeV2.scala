@@ -1,0 +1,213 @@
+package graft.lake
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.catalog.{
+  SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{
+  Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns,
+  V1Scan}
+import org.apache.spark.sql.connector.write.{
+  LogicalWriteInfo, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.{
+  BaseRelation, EqualTo, Filter, In, InsertableRelation, Or, TableScan}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 surface of a GraftLake table (SURVEY §2.1 — the SQL-user
+  * contract, the engine's analog of the reference's options.json published
+  * surface, /root/reference/options.json:1-253).
+  *
+  * Read strategy, chosen PER SCAN from the pinned snapshot:
+  *
+  *  - **Columnar fast path**: when every selected bucket is compacted
+  *    (no deltas) with split-format bases (tombstones in separate files —
+  *    [[LakeTable.BucketState.pureBase]]), the scan IS Spark's own
+  *    vectorized parquet batch scan over exactly the pruned live files:
+  *    whole-stage codegen, columnar batches, no per-row `Row` boundary.
+  *    Pushed literal conv_id equality/IN/OR-of-equality predicates prune the
+  *    FILE LIST to the matching buckets before the index is built. This is
+  *    the steady state at scale — maintenance compacts, then analytics scan.
+  *
+  *  - **Arbitration fallback**: buckets carrying deltas need merge-on-read
+  *    arbitration (a per-key window — a query plan, not a file scan), so the
+  *    scan bridges to the engine's read plan through the public
+  *    [[org.apache.spark.sql.connector.read.V1Scan]] API. Correct always,
+  *    row-based only while a bucket is between ingest and compaction.
+  *
+  * Write: `INSERT INTO` / `df.write.format("graftlake").mode("append")`
+  * lands as an idempotent epoch through [[LakeTable.appendAsUpserts]] (a
+  * `V1Write` — the merge is itself a Spark job, so the v1 bridge is the
+  * faithful contract, not a compromise).
+  */
+final class GraftLakeV2Table(spark: SparkSession, path: String,
+                             asOfVersion: Option[Long],
+                             changesSince: Option[Long]) extends Table
+    with SupportsRead with SupportsWrite {
+
+  require(asOfVersion.isEmpty || changesSince.isEmpty,
+    "asOfVersion and changesSince are mutually exclusive")
+
+  override def name(): String = s"graftlake:$path"
+
+  // Schema pins the TARGET snapshot at table resolution: time travel across
+  // additive evolution must expose the older, narrower schema.
+  override def schema(): StructType = {
+    val t = LakeTable.open(spark, path)
+    (asOfVersion, changesSince) match {
+      case (Some(v), _) => t.snapshotAt(v).schema
+      case (_, Some(_)) => t.currentSnapshot.map(s =>
+        StructType(t.fileSchemaOf(s.schema).fields :+
+          StructField("_commit_version", LongType))).getOrElse(StructType(Nil))
+      case _ => t.currentSnapshot.map(_.schema).getOrElse(StructType(Nil))
+    }
+  }
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftLakeScanBuilder(spark, path, asOfVersion, changesSince, schema())
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(asOfVersion.isEmpty && changesSince.isEmpty,
+      "cannot write through a time-travel or change-feed relation")
+    new WriteBuilder {
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              require(!overwrite, "graftlake is append/merge-only: upserts " +
+                "supersede by lsn; there is no table-truncating overwrite")
+              LakeTable.open(spark, path).appendAsUpserts(data)
+            }
+          }
+      }
+    }
+  }
+}
+
+final class GraftLakeScanBuilder(spark: SparkSession, path: String,
+                                 asOfVersion: Option[Long],
+                                 changesSince: Option[Long],
+                                 fullSchema: StructType) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private val lake = LakeTable.open(spark, path)
+  // Pin ONE snapshot for the whole scan build: planning decisions (file
+  // list, columnar eligibility) and execution must agree.
+  private val snapOpt = asOfVersion match {
+    case Some(v) => Some(lake.snapshotAt(v))
+    case None    => lake.currentSnapshot
+  }
+
+  private var required: StructType = fullSchema
+  private var convKeys: Option[Seq[String]] = None
+  private var handled: Array[Filter] = Array.empty
+  private var allFilters: Array[Filter] = Array.empty
+
+  /** conv_id keys demanded by one pushed conjunct: equality, IN, or a
+    * disjunction of such (the OR shape SQL generators emit instead of IN).
+    */
+  private def keysOf(f: Filter): Option[Seq[String]] = f match {
+    case EqualTo("conv_id", v: String) => Some(Seq(v))
+    case In("conv_id", vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+      Some(vs.toSeq.map(_.asInstanceOf[String]))
+    case Or(l, r) => for { a <- keysOf(l); b <- keysOf(r) } yield a ++ b
+    case _ => None
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val keyed = filters.flatMap(f => keysOf(f).map(f -> _))
+    convKeys = keyed.headOption.map(_._2)
+    handled = keyed.map(_._1)
+    allFilters = filters
+    // Everything is returned as residual: bucket pruning is a file-list
+    // decision — other conversations share the bucket, so Spark must still
+    // evaluate the predicate above the scan.
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = handled
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = (changesSince, snapOpt) match {
+    case (None, Some(s)) =>
+      val states = convKeys match {
+        case Some(keys) =>
+          keys.map(k => LakeTable.bucketOf(k, s.numBuckets)).distinct
+            .map(b => s.buckets.getOrElse(b, lake.emptyBucketState))
+        case None => s.buckets.values.toSeq
+      }
+      val columnarOk = states.forall(st =>
+        st.deltas.isEmpty && (st.base.isEmpty || st.pureBase))
+      if (columnarOk) columnarScan(s, states) else v1Scan()
+    case _ => v1Scan()
+  }
+
+  /** The whole selected file set is compacted + tombstone-split: hand the
+    * pruned live files to Spark's own vectorized parquet scan. The result is
+    * a genuine columnar BatchScan — codegen fuses it with the query above,
+    * and column pruning reaches the parquet reader (op/_lsn never read).
+    */
+  private def columnarScan(s: lake.Snapshot, states: Seq[lake.BucketState]): Scan = {
+    val files = states.flatMap(_.base).map(f => new HPath(s"$path/$f"))
+    val index = new InMemoryFileIndex(spark, files, Map.empty, Some(fullSchema))
+    // Subclass purely to reach the protected filter slot: parquet then does
+    // row-group/page-stat pruning with the pushed predicates (it skips what
+    // it can prove, Spark re-evaluates the rest above — the filters are
+    // residuals either way, so this is pure gain) and the scan's explain
+    // metadata shows PushedFilters.
+    val inner = new ParquetScanBuilder(spark, index, fullSchema, fullSchema,
+        CaseInsensitiveStringMap.empty()) {
+      def withDataFilters(fs: Array[Filter]): this.type = {
+        pushedDataFilters = fs; this
+      }
+    }
+    inner.pruneColumns(required)
+    inner.withDataFilters(allFilters)
+    inner.build()
+  }
+
+  /** Merge-on-read arbitration cannot be a bare file scan — bridge to the
+    * engine's read plan via the public V1Scan API. Column pruning still
+    * applies (the projection reaches the inner parquet scans); filters are
+    * re-applied by Spark above.
+    */
+  private def v1Scan(): Scan = {
+    val requiredCols = required
+    val mode = (asOfVersion, changesSince)
+    val keys = convKeys
+    val lakePath = path
+    new V1Scan {
+      override def readSchema(): StructType = requiredCols
+      override def toV1TableScan[T <: BaseRelation with TableScan](
+          context: SQLContext): T = {
+        val rel = new BaseRelation with TableScan {
+          override def sqlContext: SQLContext = context
+          override def schema: StructType = requiredCols
+          override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+            val t = LakeTable.open(context.sparkSession, lakePath)
+            val base = mode match {
+              case (Some(v), _) => t.readAsOf(v)
+              case (_, Some(v)) => t.changesSince(v)
+              case _ => keys match {
+                case Some(ks) => t.readConvs(ks) // bucket-pruned lookup
+                case None     => t.read()
+              }
+            }
+            base.select(requiredCols.fieldNames.toIndexedSeq.map(col): _*).rdd
+          }
+        }
+        rel.asInstanceOf[T]
+      }
+    }
+  }
+}

@@ -86,8 +86,20 @@ final class LakeTable(val spark: SparkSession, val path: String,
 
   // ---- snapshot model ------------------------------------------------------
 
-  final case class BucketState(base: Seq[String], deltas: Seq[String]) {
-    def allFiles: Seq[String] = base ++ deltas
+  /** One bucket's file state.
+    *
+    * `tombs`: compaction since the split-format writes surviving 'D'
+    * tombstones into SEPARATE files from live rows — `Some(files)` marks the
+    * split (base files are then PURE live rows, so a live read skips
+    * tombstone bytes entirely and a columnar engine can scan bases with no
+    * row filter at all); `None` marks a legacy base that may interleave
+    * tombstones (read conservatively).
+    */
+  final case class BucketState(base: Seq[String], deltas: Seq[String],
+                               tombs: Option[Seq[String]] = None) {
+    def allFiles: Seq[String] = base ++ tombs.getOrElse(Nil) ++ deltas
+    /** Base rows are provably tombstone-free (split-format compaction). */
+    def pureBase: Boolean = tombs.isDefined
   }
 
   /** Per-file column ranges, read once from the parquet FOOTER at commit time
@@ -145,6 +157,17 @@ final class LakeTable(val spark: SparkSession, val path: String,
 
   def currentSnapshot: Option[Snapshot] = latestVersion.map(readSnapshot)
 
+  /** Retained snapshot by version (DSv2 time travel). Loud when vacuumed. */
+  private[lake] def snapshotAt(v: Long): Snapshot = {
+    require(Files.exists(snapPath(v)),
+      s"snapshot v$v does not exist at $path (never written, or vacuumed)")
+    readSnapshot(v)
+  }
+
+  private[lake] def fileSchemaOf(payload: StructType): StructType = fileSchema(payload)
+
+  private[lake] def emptyBucketState: BucketState = BucketState(Nil, Nil, None)
+
   /** Bucket count the TABLE was created with (from the latest snapshot) —
     * the writer expression and point-lookup pruning must use this, never a
     * mismatched constructor argument (silent mis-bucketing otherwise).
@@ -162,7 +185,9 @@ final class LakeTable(val spark: SparkSession, val path: String,
     val buckets = root.get("buckets").fields().asScala.map { e =>
       val base = e.getValue.get("base").elements().asScala.map(_.asText).toSeq
       val deltas = e.getValue.get("deltas").elements().asScala.map(_.asText).toSeq
-      e.getKey.toInt -> BucketState(base, deltas)
+      val tombs = Option(e.getValue.get("tombs"))
+        .map(_.elements().asScala.map(_.asText).toSeq)
+      e.getKey.toInt -> BucketState(base, deltas, tombs)
     }.toMap
     val epochs = root.get("committedEpochs").fields().asScala
       .map(e => e.getKey -> e.getValue.asLong).toMap
@@ -207,6 +232,7 @@ final class LakeTable(val spark: SparkSession, val path: String,
       val o = bn.putObject(b.toString)
       val ba = o.putArray("base"); st.base.foreach(ba.add)
       val da = o.putArray("deltas"); st.deltas.foreach(da.add)
+      st.tombs.foreach { ts => val ta = o.putArray("tombs"); ts.foreach(ta.add) }
     }
     val en = node.putObject("committedEpochs")
     s.committedEpochs.foreach { case (k, v) => en.put(k, v) }
@@ -536,6 +562,40 @@ final class LakeTable(val spark: SparkSession, val path: String,
     throw new IllegalStateException("unreachable")
   }
 
+  /** SQL-surface append (`INSERT INTO` / `df.write.format("graftlake")`):
+    * plain payload rows become upserts. Missing CDC envelope columns are
+    * synthesized — op='U', commit_ts=now, and ONE fresh lsn for the whole
+    * batch, `max_lsn + 1` from the snapshot metrics, so the insert wins
+    * last-writer-wins against all prior state (two rows with the SAME key in
+    * one INSERT tie on lsn and collapse nondeterministically — a CDC feed
+    * with real per-row lsns should use [[merge]]). Epoch id self-allocates
+    * per attempt inside the retry loop, so a lost commit race re-reads both
+    * the winner's max_lsn and the next epoch id — never replays under an id
+    * the winner already burned.
+    */
+  def appendAsUpserts(data: DataFrame, maxRetries: Int = 5): MergeResult = {
+    val ns = "sql-append"
+    var attempt = 0
+    while (true) {
+      val prev = currentSnapshot
+      val epochId = prev.flatMap(_.committedEpochs.get(ns)).getOrElse(-1L) + 1
+      val lsn = prev.flatMap(_.metrics.get("max_lsn")).getOrElse(0L) + 1
+      val nowMicros = System.currentTimeMillis() * 1000L
+      var batch = data
+      if (!batch.columns.contains("op")) batch = batch.withColumn("op", lit("U"))
+      if (!batch.columns.contains("lsn")) batch = batch.withColumn("lsn", lit(lsn))
+      if (!batch.columns.contains("commit_ts"))
+        batch = batch.withColumn("commit_ts", timestamp_micros(lit(nowMicros)))
+      try return merge(batch, ns, epochId)
+      catch {
+        case e: CommitConflictException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   private val profile = sys.env.get("GRAFT_PROFILE").contains("1")
   private def phased[A](name: String)(f: => A): A =
     if (!profile) f else {
@@ -587,7 +647,8 @@ final class LakeTable(val spark: SparkSession, val path: String,
       .observe(obs,
         count(lit(1)).as("n"),
         count(when(col("op") === "D", 1)).as("d"),
-        max(col("__hw")).as("hw"))
+        max(col("__hw")).as("hw"),
+        max(col("_lsn")).as("ml"))
       // Partition count comes from spark.sql.shuffle.partitions (sized to the
       // DATA, not the executor count — adding executors must not change the
       // plan, only the concurrency; AQE coalesces if the batch is small).
@@ -603,6 +664,7 @@ final class LakeTable(val spark: SparkSession, val path: String,
     val events = stats.get("n").map(_.asInstanceOf[Long]).getOrElse(0L)
     val deletes = stats.get("d").map(_.asInstanceOf[Long]).getOrElse(0L)
     val batchHigh = stats.get("hw").flatMap(Option(_)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val batchMaxLsn = stats.get("ml").flatMap(Option(_)).map(_.asInstanceOf[Long]).getOrElse(0L)
 
     val newFiles = listBucketFiles(rel, 0 until numBuckets)
     val touched = newFiles.filter(_._2.nonEmpty).keys.toSeq
@@ -648,7 +710,11 @@ final class LakeTable(val spark: SparkSession, val path: String,
         metrics = Map(
           "last_events" -> events, "last_upserts" -> (events - deletes),
           "last_deletes" -> deletes,
-          "total_events" -> (prev.flatMap(_.metrics.get("total_events")).getOrElse(0L) + events)),
+          "total_events" -> (prev.flatMap(_.metrics.get("total_events")).getOrElse(0L) + events),
+          // running max lsn: lets SQL-surface appends synthesize a fresh lsn
+          // above everything already merged (a metadata read, not a scan)
+          "max_lsn" -> math.max(
+            prev.flatMap(_.metrics.get("max_lsn")).getOrElse(0L), batchMaxLsn)),
         changeFiles = Some(newDeltaFiles),
         fileStats = fileStats
       )
@@ -700,16 +766,39 @@ final class LakeTable(val spark: SparkSession, val path: String,
     // Width from shuffle.partitions (data-sized config), NEVER the executor
     // count: the physical file layout must not change when the cluster does.
     val width = spark.sessionState.conf.numShufflePartitions
+    // Surviving tombstones route to SEPARATE files (partition dir __dead):
+    // live reads then scan pure-live bases with zero tombstone bytes and no
+    // row filter — which is also what lets the DSv2 connector hand clean
+    // buckets to Spark's vectorized parquet scan as-is. `op` stays in the
+    // files; __dead is only the router.
     compacted.withColumn("b", bucketExpr)
+      .withColumn("__dead", col("op") === "D")
       .repartition(math.min(targets.size, width), col("b"))
       .write.mode("overwrite").option("compression", compression)
-      .partitionBy("b").parquet(s"$path/$rel")
-    val newFiles = listBucketFiles(rel, targets)
+      .partitionBy("b", "__dead").parquet(s"$path/$rel")
+    val newFiles = listSplitBucketFiles(rel, targets)
     val updated = targets.foldLeft(buckets) { (acc, b) =>
-      acc + (b -> BucketState(base = newFiles.getOrElse(b, Nil), deltas = Nil))
+      val (live, dead) = newFiles.getOrElse(b, (Nil, Nil))
+      acc + (b -> BucketState(base = live, deltas = Nil, tombs = Some(dead)))
     }
-    (updated, newFiles.values.flatten.toSeq.sorted)
+    (updated, newFiles.values.flatMap(f => f._1 ++ f._2).toSeq.sorted)
   }
+
+  /** List a split compaction output: bucket → (live files, tombstone files)
+    * from `rel/b=N/__dead=false|true/`.
+    */
+  private def listSplitBucketFiles(rel: String,
+                                   buckets: Seq[Int]): Map[Int, (Seq[String], Seq[String])] =
+    buckets.map { b =>
+      def files(dead: Boolean): Seq[String] = {
+        val dir = Paths.get(path, rel, s"b=$b", s"__dead=$dead")
+        if (Files.exists(dir))
+          listDir(dir).filter(_.endsWith(".parquet"))
+            .map(n => s"$rel/b=$b/__dead=$dead/$n").sorted
+        else Nil
+      }
+      b -> (files(false), files(true))
+    }.toMap
 
   /** Bucket-pruned point lookup: computes the hash bucket of the key and
     * scans ONLY that bucket's files — at 4096 buckets a conversation lookup
@@ -766,8 +855,9 @@ final class LakeTable(val spark: SparkSession, val path: String,
             // 100 TB table is a metadata walk, not a full rewrite. Buckets
             // with deltas, or any file missing stats, rewrite conservatively.
             s.buckets.filter { case (_, st) =>
-              st.deltas.nonEmpty || st.base.exists(f =>
-                s.fileStats.get(f).forall(fs => !fs.noTombs && fs.minLsn < h))
+              st.deltas.nonEmpty ||
+                (st.base ++ st.tombs.getOrElse(Nil)).exists(f =>
+                  s.fileStats.get(f).forall(fs => !fs.noTombs && fs.minLsn < h))
             }.keys.toSeq
           case None => s.buckets.filter(_._2.deltas.nonEmpty).keys.toSeq
         }

@@ -750,6 +750,94 @@ class LakeTableSpec extends AnyFunSuite {
     val _ = v2Files
   }
 
+  test("DSv2: compacted table reads as a columnar BatchScan with bucket-pruned files") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val t = freshTable(buckets = 8)
+    val wal = TranscriptWal.synthetic(spark, 1000, 16, deleteFraction = 0.1).cache()
+    t.merge(wal, "t", 1)
+    t.compactAll() // all buckets clean + tombstone-split ⇒ columnar eligible
+    val df = spark.read.format("graftlake").load(t.path)
+
+    // full scan: a genuine v2 batch scan feeding ColumnarToRow (vectorized)
+    val full = df.select("conv_id", "turn_idx", "text")
+    val fullPlan = full.queryExecution.executedPlan
+    assert(fullPlan.collect { case b: BatchScanExec => b }.size == 1,
+      "compacted read must plan a BatchScan, not a row-based v1 bridge")
+    assert(fullPlan.toString.contains("ColumnarToRow"),
+      "batch scan must be columnar (vectorized parquet)")
+    // correctness vs the engine read
+    val viaScala = t.read().select("conv_id", "turn_idx", "text")
+    assert(full.exceptAll(viaScala).count() == 0 &&
+      viaScala.exceptAll(full).count() == 0)
+
+    // literal key filter: the scan's file set is exactly that bucket's bases
+    val one = df.where($"conv_id" === "c3")
+    val scan = one.queryExecution.executedPlan
+      .collect { case b: BatchScanExec => b }.head
+    val scannedFiles = scan.scan
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+      .fileIndex.inputFiles
+      .map(f => f.substring(f.indexOf("data/"))).toSet
+    val expectFiles =
+      t.currentSnapshot.get.buckets(LakeTable.bucketOf("c3", 8)).base.toSet
+    assert(scannedFiles == expectFiles, "v2 scan prunes to the key's bucket")
+    assert(one.count() == t.readConv("c3").count() && one.count() > 0)
+    // pushed-filter display carries the conv_id predicate
+    assert(one.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      .contains("PushedFilters"))
+
+    // deltas arrive ⇒ arbitration required ⇒ correct row-bridge fallback
+    t.merge(wal.where($"conv_id" === "c3").withColumn("lsn", $"lsn" + 5000000L)
+      .withColumn("text", lit("v2")), "t", 2)
+    val df2 = spark.read.format("graftlake").load(t.path)
+    assert(df2.where($"conv_id" === "c3").select("text").distinct()
+      .collect().map(_.getString(0)).toSeq == Seq("v2"))
+    assert(df2.count() == t.read().count())
+    // and compaction restores the columnar path
+    t.compactAll()
+    val df3 = spark.read.format("graftlake").load(t.path)
+    assert(df3.select("conv_id").queryExecution.executedPlan
+      .collect { case b: BatchScanExec => b }.size == 1)
+    wal.unpersist()
+  }
+
+  test("SQL INSERT INTO a graftlake view lands merged upsert epochs") {
+    val t = freshTable(buckets = 4)
+    val wal = TranscriptWal.synthetic(spark, 300, 6)
+    t.merge(wal, "t", 1)
+    val v1 = t.latestVersion.get
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW lake_ins " +
+      s"USING graftlake OPTIONS (path '${t.path}')")
+    // plain payload rows — the engine synthesizes op/lsn/commit_ts
+    spark.sql("INSERT INTO lake_ins VALUES " +
+      "('sqlconv', 0, 'user', 'hello from sql', NULL, TIMESTAMP'2024-06-01 00:00:00')," +
+      "('sqlconv', 1, 'assistant', 'hi', NULL, TIMESTAMP'2024-06-01 00:00:01')")
+    assert(t.latestVersion.get == v1 + 1, "INSERT commits one epoch")
+    assert(t.readConv("sqlconv").count() == 2)
+    assert(t.currentSnapshot.get.committedEpochs.contains("sql-append"))
+    // a second INSERT supersedes by the auto-lsn (last writer wins)
+    spark.sql("INSERT INTO lake_ins VALUES " +
+      "('sqlconv', 0, 'user', 'edited', NULL, TIMESTAMP'2024-06-01 00:00:02')")
+    val texts = t.readConv("sqlconv").orderBy("turn_idx")
+      .select("text").collect().map(_.getString(0)).toSeq
+    assert(texts == Seq("edited", "hi"))
+    // DataFrame append through the v2 write path
+    import spark.implicits._
+    Seq(("dfconv", 0, "user", "from df.write", Option.empty[String],
+      new java.sql.Timestamp(1717200000000L)))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+      .write.format("graftlake").mode("append").save(t.path)
+    assert(t.readConv("dfconv").count() == 1)
+    // overwrite is refused loudly (append/merge-only contract)
+    intercept[Exception] {
+      Seq(("x", 0, "user", "nope", Option.empty[String],
+        new java.sql.Timestamp(0L)))
+        .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+        .write.format("graftlake").mode("overwrite").save(t.path)
+    }
+  }
+
   test("tombstone GC skips provably-clean buckets by manifest stats") {
     val t = freshTable(buckets = 4)
     t.merge(TranscriptWal.synthetic(spark, 500, 8, deleteFraction = 0.2), "t", 1)
