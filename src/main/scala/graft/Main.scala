@@ -8,7 +8,15 @@ import graft.stream.CdcIngestJob
 /** spark-submit entrypoint: `spark-submit --class graft.Main <jar> ingest
   * --wal DIR --table DIR --checkpoint DIR [--buckets N] [--watermark '1 hour']
   * [--sanitize] [--drop-boilerplate] [--max-files-per-trigger N]
-  * [--no-watermark] [--format parquet|json]`
+  * [--no-watermark] [--format parquet|json]
+  * [--follow [interval]] [--for-seconds N]`
+  *
+  * Default ingest drains the WAL dir and exits (resumable catch-up).
+  * `--follow` keeps tailing for new files on a ProcessingTime trigger
+  * (default cadence '2 seconds', or pass one: `--follow '10 seconds'`);
+  * stop with SIGTERM/Ctrl-C — a shutdown hook stops the query gracefully
+  * (the in-flight epoch completes; checkpoint + epoch manifest resume
+  * exactly-once). `--for-seconds N` bounds a follow run (demos, tests).
   *
   * Also: `compact --table DIR [--gc-below-lsn N]`, `vacuum --table DIR
   * [--keep N]`, `rebucket --table DIR --target DIR --buckets N`.
@@ -62,9 +70,22 @@ object Main {
           sanitize = a.contains("sanitize"),
           flagBoilerplate = a.contains("drop-boilerplate"),
           maxFilesPerTrigger = a.getOrElse("max-files-per-trigger", "8").toInt,
-          walFormat = a.getOrElse("format", "parquet"))
+          walFormat = a.getOrElse("format", "parquet"),
+          followInterval = a.get("follow")
+            .map(v => if (v == "true") "2 seconds" else v))
         val (q, metrics) = CdcIngestJob.startWithMetrics(spark, req("wal"), conf)
-        q.awaitTermination()
+        if (conf.followInterval.isDefined) {
+          // graceful stop on SIGTERM/Ctrl-C: finish the in-flight epoch,
+          // then exit — the next start resumes from the checkpoint
+          Runtime.getRuntime.addShutdownHook(new Thread(() =>
+            try q.stop() catch { case _: Throwable => () }))
+          a.get("for-seconds") match {
+            case Some(secs) =>
+              if (!q.awaitTermination(secs.toLong * 1000L)) q.stop()
+              q.awaitTermination()
+            case None => q.awaitTermination()
+          }
+        } else q.awaitTermination()
         println(s"""{"eventsApplied":${metrics.eventsApplied},"lateDrops":${metrics.lateDrops}}""")
       case "compact" =>
         val t = graft.lake.LakeTable.open(spark, req("table"))

@@ -86,5 +86,13 @@ final case class IngestConfig(
     maxFilesPerTrigger: Int = 8,
     /** WAL encoding: "parquet" (binlog extracts) or "json" (line-delimited
       * feeds — corrupt records counted and filtered, never fatal). */
-    walFormat: String = "parquet"
+    walFormat: String = "parquet",
+    /** None (default): drain-and-exit (Trigger.AvailableNow — batch-style
+      * catch-up runs, the reference CLI's process-what's-there loop).
+      * Some(interval): FOLLOW mode — a ProcessingTime trigger that keeps
+      * tailing the WAL dir for new files at the given cadence until the
+      * query is stopped (graceful: the in-flight epoch completes, the
+      * checkpoint + epoch manifest make the next start resume exactly-once).
+      */
+    followInterval: Option[String] = None
 )

@@ -111,7 +111,12 @@ object CdcIngestJob {
     val epochNs = "cdc-" + conf.checkpointPath
     stream.writeStream
       .option("checkpointLocation", conf.checkpointPath)
-      .trigger(Trigger.AvailableNow())
+      // AvailableNow drains what exists and exits (resumable catch-up runs);
+      // follow mode keeps tailing at a fixed cadence for a real deployment.
+      .trigger(conf.followInterval match {
+        case Some(interval) => Trigger.ProcessingTime(interval)
+        case None           => Trigger.AvailableNow()
+      })
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val hw = table.currentSnapshot.map(_.highWaterMicros).getOrElse(0L)
         val staged = pipeline(batch, conf, hw)

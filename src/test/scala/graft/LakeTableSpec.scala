@@ -838,6 +838,52 @@ class LakeTableSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-table exactly-once: crash between merges leaves a consistent pair after retry") {
+    import graft.lake.TxnLog
+    val work = Files.createTempDirectory("txn").toString
+    val turns = new LakeTable(spark, s"$work/turns", numBuckets = 4)
+    val stats = new LakeTable(spark, s"$work/stats", numBuckets = 4)
+    val txn = new TxnLog(spark, s"$work/txn")
+    val wal = TranscriptWal.synthetic(spark, 400, 8).cache()
+    val statBatch = wal.groupBy("conv_id").agg(count(lit(1)).as("n"))
+      .select($"conv_id", lit(0).as("turn_idx"), lit("U").as("op"),
+        lit(1L).as("lsn"), lit(new java.sql.Timestamp(0)).cast("timestamp").as("commit_ts"),
+        $"n")
+
+    // epoch 1 lands in both tables, then the pin covers both
+    val s1 = txn.commit(Seq(turns -> wal, stats -> statBatch), "pipe", 1)
+    assert(s1.tables.keySet == Set(turns.path, stats.path))
+    assert(txn.readPinned(turns).count() > 0 && txn.readPinned(stats).count() > 0)
+
+    // CRASH SIMULATION for epoch 2: table A merged, coordinator dies before
+    // table B and before the pin
+    // fresh seed ⇒ new keys, so the epoch visibly grows the row count
+    val wal2 = TranscriptWal.synthetic(spark, 200, 8, seed = 77L,
+      lsnOffset = 1000000L).cache()
+    val stat2 = wal2.groupBy("conv_id").agg(count(lit(1)).as("n"))
+      .select($"conv_id", lit(0).as("turn_idx"), lit("U").as("op"),
+        lit(2L).as("lsn"), lit(new java.sql.Timestamp(0)).cast("timestamp").as("commit_ts"),
+        $"n")
+    turns.merge(wal2, "pipe", 2) // the half-done txn
+    val turnsRowsAfterCrash = turns.read().count()
+    // readers in the crash window still see the CONSISTENT epoch-1 pin
+    assert(txn.latest.get.epochs("pipe") == 1)
+    assert(txn.readPinned(turns).count() < turnsRowsAfterCrash)
+
+    // retry the WHOLE txn: A no-ops (idempotent epoch), B applies, pin lands
+    val turnsVersionBefore = turns.latestVersion.get
+    val s2 = txn.commit(Seq(turns -> wal2, stats -> stat2), "pipe", 2)
+    assert(turns.latestVersion.get == turnsVersionBefore, "A must not double-apply")
+    assert(turns.read().count() == turnsRowsAfterCrash)
+    assert(s2.epochs("pipe") == 2)
+    assert(txn.readPinned(turns).count() == turnsRowsAfterCrash)
+    assert(txn.readPinned(stats).count() > 0)
+    // and re-running the COMPLETED txn is a pure no-op, no new pin version
+    val s3 = txn.commit(Seq(turns -> wal2, stats -> stat2), "pipe", 2)
+    assert(s3.version == s2.version)
+    wal.unpersist(); wal2.unpersist()
+  }
+
   test("tombstone GC skips provably-clean buckets by manifest stats") {
     val t = freshTable(buckets = 4)
     t.merge(TranscriptWal.synthetic(spark, 500, 8, deleteFraction = 0.2), "t", 1)

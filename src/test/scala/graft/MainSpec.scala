@@ -49,6 +49,19 @@ class MainSpec extends AnyFunSuite {
     assert(!spark.sparkContext.isStopped)
   }
 
+  test("ingest --follow tails until the bounded run stops it gracefully") {
+    val work = Files.createTempDirectory("cli-follow").toString
+    val wal = TranscriptWal.synthetic(spark, 300, 6)
+    wal.write.parquet(s"$work/wal")
+    // a bounded follow run: ProcessingTime trigger, stopped after the window
+    Main.main(Array("ingest", "--wal", s"$work/wal", "--table", s"$work/t",
+      "--checkpoint", s"$work/cp", "--buckets", "8", "--no-watermark",
+      "--follow", "200 milliseconds", "--for-seconds", "8"))
+    val t = LakeTable.open(spark, s"$work/t")
+    assert(t.read().count() == TranscriptWal.expectedState(wal).count())
+    assert(!spark.sparkContext.isStopped)
+  }
+
   test("ingest --format json consumes a JSON WAL feed via the CLI") {
     val work = Files.createTempDirectory("cli-json").toString
     val wal = TranscriptWal.synthetic(spark, 300, 6)

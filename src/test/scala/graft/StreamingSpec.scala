@@ -288,4 +288,42 @@ class StreamingSpec extends AnyFunSuite {
     val exp = TranscriptWal.expectedState(wal).select("conv_id", "turn_idx", "text")
     assert(got.exceptAll(exp).count() == 0 && exp.exceptAll(got).count() == 0)
   }
+
+  test("follow mode tails the WAL dir across triggers and stops gracefully") {
+    val (walDir, conf0) = workDirs()
+    val conf = conf0.copy(followInterval = Some("150 milliseconds"))
+    val wal = TranscriptWal.synthetic(spark, 400, 8).cache()
+    val first = wal.where($"lsn" < 200)
+    val second = wal.where($"lsn" >= 200)
+    writeWalFiles(walDir, Seq(first))
+    val q = CdcIngestJob.start(spark, walDir, conf)
+    val t = new LakeTable(spark, conf.tablePath, conf.numBuckets)
+    def eventually(timeoutMs: Long)(cond: => Boolean): Boolean = {
+      val deadline = System.currentTimeMillis() + timeoutMs
+      while (System.currentTimeMillis() < deadline) {
+        if (cond) return true
+        Thread.sleep(100)
+      }
+      cond
+    }
+    assert(eventually(30000)(t.latestVersion.exists(_ >= 1)),
+      "follow query applies the initial batch without stop/start")
+    // a LATER file arrives while the query is live — the ProcessingTime
+    // trigger must pick it up (AvailableNow would have exited already)
+    writeWalFiles(walDir, Seq(second))
+    assert(eventually(30000)(
+      t.currentSnapshot.exists(_.metrics("total_events") == wal.count())),
+      "follow trigger ingests files that arrive after start")
+    q.stop() // graceful: in-flight epoch completes
+    q.awaitTermination()
+    val got = t.read().select("conv_id", "turn_idx", "text")
+    val exp = TranscriptWal.expectedState(wal).select("conv_id", "turn_idx", "text")
+    assert(got.exceptAll(exp).count() == 0 && exp.exceptAll(got).count() == 0)
+    // and AvailableNow semantics are unchanged: a catch-up run over the same
+    // checkpoint applies nothing new and exits on its own
+    val q2 = CdcIngestJob.start(spark, walDir, conf.copy(followInterval = None))
+    q2.awaitTermination()
+    assert(t.read().count() == got.count())
+    wal.unpersist()
+  }
 }
