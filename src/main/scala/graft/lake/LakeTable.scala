@@ -476,7 +476,23 @@ final class LakeTable(val spark: SparkSession, val path: String,
     */
   private def readFileStats(relFiles: Seq[String]): Map[String, FileStat] = {
     val hconf = spark.sessionState.newHadoopConf()
-    relFiles.flatMap { rel =>
+    // Bounded-parallel footer reads: an epoch writes O(buckets × salt) small
+    // files and the open+parse is I/O-latency-bound — serially this is a
+    // visible constant driver cost per commit (and a fixed cost is exactly
+    // what erodes scaling efficiency); 8 threads collapse it to ~the latency
+    // of one footer.
+    val par = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(8, math.max(1, relFiles.size)))
+    try relFiles.map { rel =>
+      par.submit(new java.util.concurrent.Callable[Option[(String, FileStat)]] {
+        override def call(): Option[(String, FileStat)] = statOne(rel, hconf)
+      })
+    }.flatMap(_.get()).toMap
+    finally par.shutdown()
+  }
+
+  private def statOne(rel: String,
+                      hconf: org.apache.hadoop.conf.Configuration): Option[(String, FileStat)] = {
       try {
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(s"$path/$rel"), hconf)
@@ -509,7 +525,6 @@ final class LakeTable(val spark: SparkSession, val path: String,
           }
         }
       } catch { case _: Exception => None }
-    }.toMap
   }
 
   // ---- merge (the sink) ----------------------------------------------------
