@@ -96,7 +96,8 @@ final class GraftLakeScanBuilder(spark: SparkSession, path: String,
                                  asOfVersion: Option[Long],
                                  changesSince: Option[Long],
                                  fullSchema: StructType) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private val lake = LakeTable.open(spark, path)
   // Pin ONE snapshot for the whole scan build: planning decisions (file
@@ -135,10 +136,22 @@ final class GraftLakeScanBuilder(spark: SparkSession, path: String,
 
   override def pushedFilters(): Array[Filter] = handled
 
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+  private var aggPushed = false
 
-  override def build(): Scan = (changesSince, snapOpt) match {
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    required = requiredSchema
+    // After a complete aggregation push the delegate's output schema is the
+    // aggregate's, computed internally — re-pruning would clobber it.
+    if (!aggPushed) innerOpt.foreach(_.pruneColumns(requiredSchema))
+  }
+
+  // ---- columnar delegation (built once, shared by agg pushdown + build) ----
+
+  /** Lazily-built delegate over the pruned live files, present iff every
+    * selected bucket is compacted + tombstone-split (then the file rows ARE
+    * the table rows — the precondition for any footer-level shortcut).
+    */
+  private lazy val innerOpt: Option[ParquetScanBuilder] = (changesSince, snapOpt) match {
     case (None, Some(s)) =>
       val states = convKeys match {
         case Some(keys) =>
@@ -148,32 +161,55 @@ final class GraftLakeScanBuilder(spark: SparkSession, path: String,
       }
       val columnarOk = states.forall(st =>
         st.deltas.isEmpty && (st.base.isEmpty || st.pureBase))
-      if (columnarOk) columnarScan(s, states) else v1Scan()
-    case _ => v1Scan()
+      if (!columnarOk) None
+      else {
+        val files = states.flatMap(_.base).map(f => new HPath(s"$path/$f"))
+        val index = new InMemoryFileIndex(spark, files, Map.empty, Some(fullSchema))
+        // Subclass purely to reach the protected filter slot: parquet then
+        // does row-group/page-stat pruning with the pushed predicates (it
+        // skips what it can prove, Spark re-evaluates the rest above — the
+        // filters are residuals either way, so this is pure gain) and the
+        // scan's explain metadata shows PushedFilters.
+        val inner = new ParquetScanBuilder(spark, index, fullSchema, fullSchema,
+            CaseInsensitiveStringMap.empty()) {
+          def withDataFilters(fs: Array[Filter]): this.type = {
+            pushedDataFilters = fs; this
+          }
+        }
+        inner.withDataFilters(allFilters)
+        inner.pruneColumns(required)
+        Some(inner)
+      }
+    case _ => None
   }
 
-  /** The whole selected file set is compacted + tombstone-split: hand the
-    * pruned live files to Spark's own vectorized parquet scan. The result is
-    * a genuine columnar BatchScan — codegen fuses it with the query above,
-    * and column pruning reaches the parquet reader (op/_lsn never read).
+  /** Filterless COUNT(*)/MIN/MAX over a compacted table never touch row
+    * data: forwarded to the parquet delegate, they are answered from the
+    * footers Spark already trusts for its own file source — a metadata
+    * operation at any table size. The delegate refuses whenever pushed data
+    * filters exist or a column's stats can't serve the aggregate, and
+    * Spark's own rule only attempts the push when no residual Filter sits
+    * between the Aggregate and the scan, so dirty tables and filtered
+    * aggregates keep the full plan.
     */
-  private def columnarScan(s: lake.Snapshot, states: Seq[lake.BucketState]): Scan = {
-    val files = states.flatMap(_.base).map(f => new HPath(s"$path/$f"))
-    val index = new InMemoryFileIndex(spark, files, Map.empty, Some(fullSchema))
-    // Subclass purely to reach the protected filter slot: parquet then does
-    // row-group/page-stat pruning with the pushed predicates (it skips what
-    // it can prove, Spark re-evaluates the rest above — the filters are
-    // residuals either way, so this is pure gain) and the scan's explain
-    // metadata shows PushedFilters.
-    val inner = new ParquetScanBuilder(spark, index, fullSchema, fullSchema,
-        CaseInsensitiveStringMap.empty()) {
-      def withDataFilters(fs: Array[Filter]): this.type = {
-        pushedDataFilters = fs; this
-      }
-    }
-    inner.pruneColumns(required)
-    inner.withDataFilters(allFilters)
-    inner.build()
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    innerOpt.exists(_.supportCompletePushDown(agg))
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    aggPushed = innerOpt.exists(_.pushAggregation(agg))
+    aggPushed
+  }
+
+  override def build(): Scan = innerOpt match {
+    case Some(inner) =>
+      // The whole selected file set is compacted + tombstone-split: the scan
+      // IS Spark's vectorized parquet batch scan — codegen fuses it with the
+      // query above, column pruning reaches the reader (op/_lsn never read).
+      if (!aggPushed) inner.pruneColumns(required)
+      inner.build()
+    case None => v1Scan()
   }
 
   /** Merge-on-read arbitration cannot be a bare file scan — bridge to the

@@ -69,9 +69,11 @@ final class LakeTable(val spark: SparkSession, val path: String,
 
   private val mapper = new ObjectMapper()
   private val snapDir = Paths.get(path, "snapshots")
+  private val changesDir = Paths.get(path, "changes")
   private val keyCols = Seq("conv_id", "turn_idx")
 
   Files.createDirectories(snapDir)
+  Files.createDirectories(changesDir)
   Files.createDirectories(Paths.get(path, "data"))
   // Automatic bucket pruning for literal conv_id filters on read() — session
   // -wide and idempotent (the rule is an object; register once).
@@ -424,18 +426,23 @@ final class LakeTable(val spark: SparkSession, val path: String,
         require(Files.exists(snapPath(w)),
           s"snapshot v$w missing at $path — history vacuumed past " +
             s"changesSince($sinceVersion)'s window")
-        val s = readSnapshot(w)
-        val files = s.changeFiles.getOrElse {
-          // legacy snapshot without a change manifest: fall back to the state
-          // diff (correct only when commit w did not inline-compact its own
-          // deltas — all post-manifest tables record changeFiles instead)
-          s.buckets.values.flatMap(_.deltas)
-            .filter(f => dirVersionOf(f).contains(w)).toSeq
+        // sidecar first (O(commit) bytes); the snapshot JSON (O(table
+        // files)) only when the sidecar is missing (crash window, legacy)
+        val (files, stats) = readChangeManifest(w).getOrElse {
+          val s = readSnapshot(w)
+          val fs = s.changeFiles.getOrElse {
+            // legacy snapshot without a change manifest: fall back to the
+            // state diff (correct only when commit w did not inline-compact
+            // its own deltas — all post-manifest tables record changeFiles)
+            s.buckets.values.flatMap(_.deltas)
+              .filter(f => dirVersionOf(f).contains(w)).toSeq
+          }
+          (fs, s.fileStats)
         }
         tsRange match {
           case None => files
           case Some((lo, hi)) => files.filter { f =>
-            s.fileStats.get(f) match {
+            stats.get(f) match {
               case Some(st) => st.minTs.forall(_ <= hi) && st.maxTs.forall(_ >= lo)
               case None     => true // no stats ⇒ never skip
             }
@@ -455,6 +462,49 @@ final class LakeTable(val spark: SparkSession, val path: String,
         out.where(col("ts").isNotNull &&
           unix_micros(col("ts")).between(lo, hi))
       }
+  }
+
+  // ---- per-commit change-manifest SIDECAR -----------------------------------
+  //
+  // The snapshot JSON is O(table files) — bucket lists + fileStats — so a
+  // change-feed consumer catching up over V commits would pay O(V × files)
+  // of driver JSON parsing if it had to open every snapshot. The winner of
+  // each commit therefore also writes changes/c<version>.json holding ONLY
+  // that commit's change files (+ their stats): catch-up cost becomes
+  // O(V × changed), the scalable shape. The snapshot's changeFiles field
+  // stays the source of truth — a crash between snapshot publish and sidecar
+  // write just falls back to parsing that snapshot.
+
+  private def changePath(v: Long): Path = changesDir.resolve(f"c$v%010d.json")
+
+  private def writeChangeManifest(version: Long, files: Seq[String],
+                                  stats: Map[String, FileStat]): Unit = {
+    val node = mapper.createObjectNode()
+    node.put("version", version)
+    val fa = node.putArray("files"); files.foreach(fa.add)
+    val sn = node.putObject("stats")
+    files.flatMap(f => stats.get(f).map(f -> _)).foreach { case (f, st) =>
+      val o = sn.putObject(f)
+      o.put("minLsn", st.minLsn); o.put("maxLsn", st.maxLsn)
+      st.minTs.foreach(o.put("minTs", _)); st.maxTs.foreach(o.put("maxTs", _))
+      if (st.noTombs) o.put("noTombs", true)
+    }
+    // plain write is fine: only the CAS winner for `version` calls this
+    Files.writeString(changePath(version), mapper.writeValueAsString(node))
+  }
+
+  private def readChangeManifest(v: Long): Option[(Seq[String], Map[String, FileStat])] = {
+    if (!Files.exists(changePath(v))) return None
+    val node = mapper.readTree(Files.readString(changePath(v)))
+    val files = node.get("files").elements().asScala.map(_.asText).toSeq
+    val stats = node.get("stats").fields().asScala.map { e =>
+      val n = e.getValue
+      e.getKey -> FileStat(
+        n.get("minLsn").asLong, n.get("maxLsn").asLong,
+        Option(n.get("minTs")).map(_.asLong), Option(n.get("maxTs")).map(_.asLong),
+        Option(n.get("noTombs")).exists(_.asBoolean))
+    }.toMap
+    Some((files, stats))
   }
 
   /** Version encoded in a data file's epoch dir — the version of the commit
@@ -734,6 +784,9 @@ final class LakeTable(val spark: SparkSession, val path: String,
         fileStats = fileStats
       )
       writeSnapshot(snapshot)
+      // CAS winner only (writeSnapshot would have thrown otherwise):
+      // the O(commit)-sized sidecar serving deep change-feed catch-ups
+      writeChangeManifest(version, newDeltaFiles, newStats)
       MergeResult(applied = true, version, events, events - deletes, deletes,
         touched.size, needCompact.size, snapshot.highWaterMicros)
     }
@@ -885,6 +938,7 @@ final class LakeTable(val spark: SparkSession, val path: String,
           changeFiles = Some(Nil), // maintenance rewrite: no new changes
           fileStats = (s.fileStats ++ readFileStats(newFiles))
             .filter { case (f, _) => referenced.contains(f) }))
+        writeChangeManifest(version, Nil, Map.empty)
       }
     }
   }
@@ -990,6 +1044,11 @@ final class LakeTable(val spark: SparkSession, val path: String,
         .filter(n => n.startsWith("v") && n.endsWith(".json"))
         .filterNot(n => keepVersions.contains(n.substring(1, n.length - 5).toLong))
       snapsToDelete.foreach(n => Files.delete(snapDir.resolve(n)))
+      // change-manifest sidecars age out with their snapshots
+      listDir(changesDir)
+        .filter(n => n.startsWith("c") && n.endsWith(".json"))
+        .filterNot(n => keepVersions.contains(n.substring(1, n.length - 5).toLong))
+        .foreach(n => Files.delete(changesDir.resolve(n)))
       (snapsToDelete.size, dataDeleted)
   }
 }

@@ -802,6 +802,35 @@ class LakeTableSpec extends AnyFunSuite {
     wal.unpersist()
   }
 
+  test("DSv2: filterless COUNT/MIN/MAX push to parquet footers on a compacted table") {
+    val t = freshTable(buckets = 8)
+    // deletes matter: a footer count over unsplit bases would include
+    // tombstone rows — the split format is what makes the pushdown CORRECT
+    val wal = TranscriptWal.synthetic(spark, 800, 12, deleteFraction = 0.2)
+    t.merge(wal, "t", 1)
+    t.compactAll()
+    // the connector honors Spark's own file-source gate for stats-served
+    // aggregates (off by default, exactly like the built-in parquet source)
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try {
+      val df = spark.read.format("graftlake").load(t.path)
+      val agg = df.agg(count(lit(1)).as("n"),
+        min($"turn_idx").as("lo"), max($"turn_idx").as("hi"))
+      val explained = agg.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(explained.contains("PushedAggregation"),
+        s"aggregates must reach the parquet footers:\n$explained")
+      val row = agg.collect()(0)
+      assert(row.getLong(0) == t.read().count(), "footer count == live rows (no tombstones)")
+      val exp = t.read().agg(min($"turn_idx"), max($"turn_idx")).collect()(0)
+      assert(row.getInt(1) == exp.getInt(0) && row.getInt(2) == exp.getInt(1))
+      // dirty table: the same aggregate silently takes the full (correct) plan
+      t.merge(wal.limit(10).withColumn("lsn", $"lsn" + 1000000L), "t", 2)
+      val df2 = spark.read.format("graftlake").load(t.path)
+      assert(df2.count() == t.read().count())
+    } finally spark.conf.unset("spark.sql.parquet.aggregatePushdown")
+  }
+
   test("SQL INSERT INTO a graftlake view lands merged upsert epochs") {
     val t = freshTable(buckets = 4)
     val wal = TranscriptWal.synthetic(spark, 300, 6)
