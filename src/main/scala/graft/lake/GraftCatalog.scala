@@ -1,0 +1,198 @@
+package graft.lake
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{
+  NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{
+  Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog,
+  TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A Spark `TableCatalog` over a directory of GraftLake tables — the last
+  * piece of the SQL-only story: DDL and DML with no paths in queries.
+  *
+  * {{{
+  *   spark.sql.catalog.graft      = graft.lake.GraftCatalog
+  *   spark.sql.catalog.graft.root = /lakes
+  *
+  *   CREATE NAMESPACE graft.prod;
+  *   CREATE TABLE graft.prod.turns (conv_id STRING, turn_idx INT, ...)
+  *     USING graftlake PARTITIONED BY (bucket(64, conv_id));
+  *   INSERT INTO graft.prod.turns SELECT ...;        -- idempotent epoch
+  *   SELECT * FROM graft.prod.turns WHERE conv_id='x';  -- pruned/columnar
+  *   SELECT * FROM graft.prod.turns VERSION AS OF 3;    -- SQL time travel
+  * }}}
+  *
+  * Layout: `<root>/<namespace…>/<table>/` is one [[LakeTable]] directory.
+  * A directory is a table iff it has a `snapshots/` child — `CREATE TABLE`
+  * commits an EMPTY version-1 snapshot carrying the declared schema, so the
+  * schema exists before the first row and evolves additively afterwards
+  * like any other merge. The bucket layout comes from
+  * `PARTITIONED BY (bucket(n, conv_id))` (the engine's one physical knob);
+  * default 64.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var root: Path = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Paths.get(Option(options.get("root")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name requires spark.sql.catalog.$name.root=<dir>")))
+    Files.createDirectories(root)
+  }
+
+  override def name(): String = catalogName
+
+  private def spark = SparkSession.active
+  private def dirOf(ident: Identifier): Path =
+    ident.namespace.foldLeft(root)(_ resolve _).resolve(ident.name)
+  private def isTable(dir: Path): Boolean = Files.isDirectory(dir.resolve("snapshots"))
+
+  // ---- tables ---------------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = namespace.foldLeft(root)(_ resolve _)
+    if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
+    scala.util.Using.resource(Files.list(dir)) { s =>
+      s.iterator().asScala
+        .filter(p => isTable(p))
+        .map(p => Identifier.of(namespace, p.getFileName.toString))
+        .toArray
+    }
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = dirOf(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    new GraftLakeV2Table(spark, dir.toString, None, None)
+  }
+
+  /** `SELECT … FROM graft.ns.t VERSION AS OF v` — SQL time travel straight
+    * onto the retained snapshot (loud when vacuumed, like `readAsOf`).
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = dirOf(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    new GraftLakeV2Table(spark, dir.toString, Some(version.toLong), None)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): Table = {
+    val dir = dirOf(ident)
+    if (isTable(dir)) throw new TableAlreadyExistsException(ident)
+    require(Seq("conv_id", "turn_idx").forall(schema.fieldNames.contains),
+      "a graftlake table needs the merge key columns (conv_id, turn_idx)")
+    // bucket(n, conv_id) is the one physical knob; anything else is not a
+    // layout this engine has (and silently accepting it would lie).
+    val numBuckets = partitions.toSeq match {
+      case Seq() => Option(properties.get("buckets")).map(_.toInt).getOrElse(64)
+      case Seq(t) if t.name == "bucket" &&
+          t.references.map(_.describe).toSeq == Seq("conv_id") =>
+        t.arguments.head.describe.toInt
+      case other => throw new IllegalArgumentException(
+        s"graftlake supports only PARTITIONED BY (bucket(n, conv_id)); got " +
+          other.map(_.describe).mkString(", "))
+    }
+    Files.createDirectories(dir.getParent)
+    val t = new LakeTable(spark, dir.toString, numBuckets)
+    // Commit an EMPTY v1 carrying the declared schema: the table exists (and
+    // describes itself) before the first row; later merges evolve additively.
+    val envelope = StructType(
+      org.apache.spark.sql.types.StructField("op",
+        org.apache.spark.sql.types.StringType) +:
+      org.apache.spark.sql.types.StructField("lsn",
+        org.apache.spark.sql.types.LongType) +:
+      org.apache.spark.sql.types.StructField("commit_ts",
+        org.apache.spark.sql.types.TimestampType) +:
+      schema.fields)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], envelope)
+    t.merge(empty, "create-table", 0L)
+    new GraftLakeV2Table(spark, dir.toString, None, None)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graftlake schema evolves additively through merges; ALTER TABLE is not supported")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = dirOf(ident)
+    if (!isTable(dir)) return false
+    scala.util.Using.resource(Files.walk(dir)) { w =>
+      w.iterator().asScala.toVector.sortBy(-_.getNameCount).foreach(Files.delete)
+    }
+    true
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = dirOf(oldIdent)
+    if (!isTable(from)) throw new NoSuchTableException(oldIdent)
+    val to = dirOf(newIdent)
+    if (isTable(to)) throw new TableAlreadyExistsException(newIdent)
+    Files.createDirectories(to.getParent)
+    Files.move(from, to)
+  }
+
+  // ---- namespaces -----------------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] =
+    scala.util.Using.resource(Files.list(root)) { s =>
+      s.iterator().asScala
+        .filter(p => Files.isDirectory(p) && !isTable(p))
+        .map(p => Array(p.getFileName.toString))
+        .toArray
+    }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    val dir = namespace.foldLeft(root)(_ resolve _)
+    if (!Files.isDirectory(dir) || isTable(dir))
+      throw new NoSuchNamespaceException(namespace)
+    scala.util.Using.resource(Files.list(dir)) { s =>
+      s.iterator().asScala
+        .filter(p => Files.isDirectory(p) && !isTable(p))
+        .map(p => namespace :+ p.getFileName.toString)
+        .toArray
+    }
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    val dir = namespace.foldLeft(root)(_ resolve _)
+    Files.isDirectory(dir) && !isTable(dir)
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): java.util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    java.util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: java.util.Map[String, String]): Unit =
+    Files.createDirectories(namespace.foldLeft(root)(_ resolve _))
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graftlake namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean = {
+    val dir = namespace.foldLeft(root)(_ resolve _)
+    if (!Files.isDirectory(dir)) return false
+    val empty = scala.util.Using.resource(Files.list(dir))(!_.iterator().hasNext)
+    if (!empty && !cascade)
+      throw new IllegalStateException(s"namespace ${namespace.mkString(".")} is not empty")
+    scala.util.Using.resource(Files.walk(dir)) { w =>
+      w.iterator().asScala.toVector.sortBy(-_.getNameCount).foreach(Files.delete)
+    }
+    true
+  }
+}

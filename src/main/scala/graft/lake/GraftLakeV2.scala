@@ -55,9 +55,10 @@ final class GraftLakeV2Table(spark: SparkSession, path: String,
 
   override def name(): String = s"graftlake:$path"
 
-  // Schema pins the TARGET snapshot at table resolution: time travel across
-  // additive evolution must expose the older, narrower schema.
-  override def schema(): StructType = {
+  // Schema pins the TARGET snapshot at table resolution (lazy val: one
+  // resolution per Table instance, however often Spark asks): time travel
+  // across additive evolution must expose the older, narrower schema.
+  private lazy val resolvedSchema: StructType = {
     val t = LakeTable.open(spark, path)
     (asOfVersion, changesSince) match {
       case (Some(v), _) => t.snapshotAt(v).schema
@@ -67,6 +68,8 @@ final class GraftLakeV2Table(spark: SparkSession, path: String,
       case _ => t.currentSnapshot.map(_.schema).getOrElse(StructType(Nil))
     }
   }
+
+  override def schema(): StructType = resolvedSchema
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)

@@ -799,6 +799,8 @@ class LakeTableSpec extends AnyFunSuite {
     val df3 = spark.read.format("graftlake").load(t.path)
     assert(df3.select("conv_id").queryExecution.executedPlan
       .collect { case b: BatchScanExec => b }.size == 1)
+    // a key hashing to an EMPTY bucket plans a zero-file columnar scan
+    assert(df3.where($"conv_id" === "zzz_no_such_conv").count() == 0)
     wal.unpersist()
   }
 
@@ -865,6 +867,44 @@ class LakeTableSpec extends AnyFunSuite {
         .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
         .write.format("graftlake").mode("overwrite").save(t.path)
     }
+  }
+
+  test("GraftCatalog: full SQL DDL/DML lifecycle with no paths in queries") {
+    val rootDir = Files.createTempDirectory("graft-catalog").toString
+    spark.conf.set("spark.sql.catalog.gcat", classOf[graft.lake.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcat.root", rootDir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.prod")
+    spark.sql("CREATE TABLE gcat.prod.turns " +
+      "(conv_id STRING, turn_idx INT, role STRING, text STRING, tool STRING, ts TIMESTAMP) " +
+      "USING graftlake PARTITIONED BY (bucket(8, conv_id))")
+    // the empty table exists, describes itself, and the layout took effect
+    assert(spark.sql("SELECT * FROM gcat.prod.turns").columns.toSeq ==
+      Seq("conv_id", "turn_idx", "role", "text", "tool", "ts"))
+    val t = LakeTable.open(spark, s"$rootDir/prod/turns")
+    assert(t.currentSnapshot.get.numBuckets == 8)
+    assert(spark.sql("SHOW TABLES IN gcat.prod").collect().map(_.getString(1)).toSeq
+      == Seq("turns"))
+
+    spark.sql("INSERT INTO gcat.prod.turns VALUES " +
+      "('c1', 0, 'user', 'hi', NULL, TIMESTAMP'2024-01-01 00:00:00')," +
+      "('c1', 1, 'assistant', 'hello', NULL, TIMESTAMP'2024-01-01 00:00:01')")
+    val v1 = t.latestVersion.get
+    spark.sql("INSERT INTO gcat.prod.turns VALUES " +
+      "('c1', 0, 'user', 'edited', NULL, TIMESTAMP'2024-01-01 00:00:02')")
+    assert(spark.sql("SELECT text FROM gcat.prod.turns WHERE conv_id='c1' ORDER BY turn_idx")
+      .collect().map(_.getString(0)).toSeq == Seq("edited", "hello"))
+    // SQL time travel onto the retained snapshot
+    assert(spark.sql(s"SELECT text FROM gcat.prod.turns VERSION AS OF $v1 " +
+      "WHERE turn_idx = 0").collect().map(_.getString(0)).toSeq == Seq("hi"))
+    // CTAS through the catalog
+    spark.sql("CREATE TABLE gcat.prod.copy USING graftlake AS " +
+      "SELECT conv_id, turn_idx, role, text, tool, ts FROM gcat.prod.turns")
+    assert(spark.sql("SELECT count(*) FROM gcat.prod.copy").collect()(0).getLong(0) == 2)
+    // rename + drop
+    spark.sql("ALTER TABLE gcat.prod.copy RENAME TO prod.copy2")
+    assert(spark.sql("SELECT count(*) FROM gcat.prod.copy2").collect()(0).getLong(0) == 2)
+    spark.sql("DROP TABLE gcat.prod.copy2")
+    intercept[Exception] { spark.sql("SELECT * FROM gcat.prod.copy2").collect() }
   }
 
   test("multi-table exactly-once: crash between merges leaves a consistent pair after retry") {
