@@ -91,6 +91,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
     require(Seq("conv_id", "turn_idx").forall(schema.fieldNames.contains),
       "a graftlake table needs the merge key columns (conv_id, turn_idx)")
+    val reserved = Seq("op", "lsn", "commit_ts").filter(schema.fieldNames.contains)
+    require(reserved.isEmpty,
+      s"column name(s) ${reserved.mkString(", ")} are reserved for the CDC " +
+        "envelope (op/lsn/commit_ts) and cannot be payload columns")
     // bucket(n, conv_id) is the one physical knob; anything else is not a
     // layout this engine has (and silently accepting it would lie).
     val numBuckets = partitions.toSeq match {

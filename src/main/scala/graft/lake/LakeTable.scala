@@ -416,6 +416,8 @@ final class LakeTable(val spark: SparkSession, val path: String,
     case None => spark.emptyDataFrame
     case Some(cur) =>
       checkBuckets(cur)
+      require(tsRange.isEmpty || cur.schema.fieldNames.contains("ts"),
+        s"changesInRange needs a 'ts' column; table at $path has none")
       val schema = fileSchema(cur.schema)
       // Driver-side metadata walk: one snapshot JSON per commit. The PLAN is
       // a single parquet scan over the union of every commit's change files —
@@ -1011,10 +1013,18 @@ final class LakeTable(val spark: SparkSession, val path: String,
   def vacuum(keepSnapshots: Int = 2, inFlightGraceMs: Long = 0L): (Int, Int) = latestVersion match {
     case None => (0, 0)
     case Some(latest) =>
-      val keepVersions = listDir(snapDir)
+      // ONE listing drives everything below. Deriving the keep-set and the
+      // delete-set from separate listings is a TOCTOU hole: a snapshot
+      // committed between them is in the second listing but not the
+      // keep-set, and "delete everything not kept" would reclaim the
+      // NEWEST snapshot — the next merge then rebuilds from the stale
+      // predecessor and the deleted commit's rows silently vanish from the
+      // table (caught by the live merge ‖ vacuum interleaving test).
+      val seenVersions = listDir(snapDir)
         .filter(n => n.startsWith("v") && n.endsWith(".json"))
         .map(n => n.substring(1, n.length - 5).toLong)
-        .sorted.takeRight(math.max(1, keepSnapshots)).toSet
+        .sorted
+      val keepVersions = seenVersions.takeRight(math.max(1, keepSnapshots)).toSet
       val referenced: Set[String] = keepVersions.flatMap { v =>
         val s = readSnapshot(v)
         s.buckets.values.flatMap(_.allFiles) ++ s.changeFiles.getOrElse(Nil)
@@ -1022,34 +1032,59 @@ final class LakeTable(val spark: SparkSession, val path: String,
       val dataRoot = Paths.get(path, "data")
       val mtimeFloor = System.currentTimeMillis() - inFlightGraceMs
       var dataDeleted = 0
-      scala.util.Using.resource(Files.walk(dataRoot)) { walk =>
-        walk.iterator().asScala.filter(p => Files.isRegularFile(p)).foreach { p =>
-          val rel = Paths.get(path).relativize(p).toString.replace('\\', '/')
-          val inFlight = dirVersionOf(rel).exists(_ > latest) ||
-            (inFlightGraceMs > 0L &&
-              Files.getLastModifiedTime(p).toMillis > mtimeFloor)
-          if (!referenced.contains(rel) && !inFlight) {
-            Files.delete(p); dataDeleted += 1
+      // Failure-tolerant traversal: a concurrent writer's task-commit
+      // creates and renames files (e.g. under _temporary) faster than a
+      // plain Files.walk can stat them — entries vanishing mid-walk are the
+      // NORMAL case for maintenance over a live table, never an error.
+      val files = scala.collection.mutable.ArrayBuffer.empty[Path]
+      val dirs = scala.collection.mutable.ArrayBuffer.empty[Path] // deepest-first
+      Files.walkFileTree(dataRoot, new java.nio.file.SimpleFileVisitor[Path] {
+        import java.nio.file.FileVisitResult.CONTINUE
+        override def visitFile(p: Path,
+            a: java.nio.file.attribute.BasicFileAttributes): java.nio.file.FileVisitResult = {
+          if (a.isRegularFile) files += p; CONTINUE
+        }
+        override def visitFileFailed(p: Path,
+            e: java.io.IOException): java.nio.file.FileVisitResult = CONTINUE
+        override def postVisitDirectory(p: Path,
+            e: java.io.IOException): java.nio.file.FileVisitResult = {
+          dirs += p; CONTINUE
+        }
+      })
+      files.foreach { p =>
+        val rel = Paths.get(path).relativize(p).toString.replace('\\', '/')
+        val inFlight = dirVersionOf(rel).exists(_ > latest) ||
+          (inFlightGraceMs > 0L && scala.util.Try(
+            Files.getLastModifiedTime(p).toMillis).toOption.forall(_ > mtimeFloor))
+        if (!referenced.contains(rel) && !inFlight) {
+          if (Files.deleteIfExists(p)) dataDeleted += 1
+        }
+      }
+      // prune now-empty epoch/bucket dirs (postVisit order = deepest-first).
+      // An in-flight writer's epoch dir (version > latest) is momentarily
+      // empty between mkdir and its first file — deleting it would fail the
+      // write job, so the same version guard applies; delete races (a file
+      // landing between the emptiness check and the delete) are benign for
+      // a best-effort GC and are swallowed.
+      dirs.foreach { p =>
+        val rel = Paths.get(path).relativize(p).toString.replace('\\', '/')
+        val inFlightDir = dirVersionOf(s"$rel/x").exists(_ > latest)
+        if (p != dataRoot && !inFlightDir && Files.isDirectory(p) &&
+            scala.util.Try(listDir(p)).toOption.exists(_.isEmpty)) {
+          try Files.delete(p)
+          catch {
+            case _: java.nio.file.DirectoryNotEmptyException => ()
+            case _: java.nio.file.NoSuchFileException        => ()
           }
         }
       }
-      // prune now-empty epoch/bucket dirs (deepest-first)
-      scala.util.Using.resource(Files.walk(dataRoot)) { walk =>
-        walk.iterator().asScala.toVector.sortBy(-_.getNameCount).foreach { p =>
-          if (p != dataRoot && Files.isDirectory(p) && listDir(p).isEmpty)
-            Files.delete(p)
-        }
-      }
-      val snapsToDelete = listDir(snapDir)
-        .filter(n => n.startsWith("v") && n.endsWith(".json"))
-        .filterNot(n => keepVersions.contains(n.substring(1, n.length - 5).toLong))
-      snapsToDelete.foreach(n => Files.delete(snapDir.resolve(n)))
-      // change-manifest sidecars age out with their snapshots
-      listDir(changesDir)
-        .filter(n => n.startsWith("c") && n.endsWith(".json"))
-        .filterNot(n => keepVersions.contains(n.substring(1, n.length - 5).toLong))
-        .foreach(n => Files.delete(changesDir.resolve(n)))
-      (snapsToDelete.size, dataDeleted)
+      // Delete-set from the SAME listing as the keep-set (see above) — a
+      // version this vacuum never saw is never deleted, however late it
+      // lands. Sidecars age out with their snapshots under the same rule.
+      val versionsToDelete = seenVersions.filterNot(keepVersions.contains)
+      versionsToDelete.foreach(v => Files.deleteIfExists(snapPath(v)))
+      versionsToDelete.foreach(v => Files.deleteIfExists(changePath(v)))
+      (versionsToDelete.size, dataDeleted)
   }
 }
 

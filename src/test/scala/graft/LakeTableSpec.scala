@@ -642,6 +642,45 @@ class LakeTableSpec extends AnyFunSuite {
     assert(Files.exists(inFlight))
   }
 
+  test("live merge ‖ vacuum interleaving: maintenance never eats an in-flight commit") {
+    // A writer thread commits epochs while a maintenance thread vacuums in a
+    // loop. The version guard must protect every not-yet-published epoch's
+    // files — any hole shows up as a snapshot referencing deleted files and
+    // a failed read below.
+    val t = freshTable(buckets = 4)
+    t.merge(TranscriptWal.synthetic(spark, 200, 6, seed = 1L,
+      lsnOffset = 1000000L), "t", 1)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val epochs = 6
+    val applied = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Boolean, Long)]()
+    val writer = new Thread(() =>
+      try {
+        (2 to epochs).foreach { i =>
+          val r = t.mergeWithRetry(TranscriptWal.synthetic(spark, 200, 6, seed = i.toLong,
+            lsnOffset = i * 1000000L), "t", i)
+          applied.add((i, r.applied, r.version))
+        }
+      } catch { case e: Throwable => failures.add(e) })
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val vacuumer = new Thread(() =>
+      try while (!stop.get()) { t.vacuum(keepSnapshots = 2); Thread.sleep(5) }
+      catch { case e: Throwable => failures.add(e) })
+    writer.start(); vacuumer.start()
+    writer.join(300000)
+    stop.set(true); vacuumer.join(60000)
+    assert(failures.isEmpty, s"concurrent merge/vacuum raised: ${failures.peek()}")
+    // every epoch landed and the full state reads back (no dangling files)
+    assert(t.latestVersion.get >= epochs,
+      s"latest=${t.latestVersion}, merges=${applied.toArray.toList}, " +
+        s"epochs=${t.currentSnapshot.map(_.committedEpochs)}")
+    val expected = TranscriptWal.expectedState(
+      (1 to epochs).map(i => TranscriptWal.synthetic(spark, 200, 6, seed = i.toLong,
+        lsnOffset = i * 1000000L)).reduce(_ unionAll _))
+    val got = t.read().select("conv_id", "turn_idx", "text")
+    val exp = expected.select("conv_id", "turn_idx", "text")
+    assert(got.exceptAll(exp).count() == 0 && exp.exceptAll(got).count() == 0)
+  }
+
   test("BucketPrune survives delete-and-recreate at the same path with a new bucket count") {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     val path = Files.createTempDirectory("lake-recreate").toString
