@@ -34,7 +34,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * engine-delegating fallback.
   */
 final class GraftLakeSource extends RelationProvider with DataSourceRegister
-    with CreatableRelationProvider with TableProvider {
+    with CreatableRelationProvider with TableProvider
+    with org.apache.spark.sql.sources.StreamSourceProvider {
   override def shortName(): String = "graftlake"
 
   private def pathOf(parameters: Map[String, String]): String =
@@ -59,6 +60,21 @@ final class GraftLakeSource extends RelationProvider with DataSourceRegister
       .appendAsUpserts(data)
     createRelation(sqlContext, parameters)
   }
+
+  // ---- streaming change feed (readStream.format("graftlake")) ---------------
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) =
+    (shortName(), GraftLakeStreamSource.changesSchema(
+      sqlContext.sparkSession, pathOf(parameters)))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source =
+    new GraftLakeStreamSource(sqlContext.sparkSession, pathOf(parameters),
+      parameters.get("startingVersion").map(_.toLong).getOrElse(0L))
 
   // ---- DSv2 (TableProvider) ------------------------------------------------
 

@@ -398,7 +398,15 @@ final class LakeTable(val spark: SparkSession, val path: String,
     * fails loudly rather than silently skipping commits.
     */
   def changesSince(sinceVersion: Long): DataFrame =
-    changesWhere(sinceVersion, None)
+    changesWhere(sinceVersion, None, None)
+
+  /** Change rows of commits in `(sinceVersion, untilVersion]` — the
+    * version-bounded batch the streaming change-feed source replays
+    * deterministically (same bounds ⇒ same rows, however many commits land
+    * later; the checkpoint-recovery contract).
+    */
+  def changesBetween(sinceVersion: Long, untilVersion: Long): DataFrame =
+    changesWhere(sinceVersion, Some(untilVersion), None)
 
   /** [[changesSince]] restricted to change rows whose event time `ts` lies in
     * `[loTsMicros, hiTsMicros]` — the "what changed yesterday" CDC query.
@@ -409,9 +417,10 @@ final class LakeTable(val spark: SparkSession, val path: String,
     */
   def changesInRange(loTsMicros: Long, hiTsMicros: Long,
                      sinceVersion: Long = 0L): DataFrame =
-    changesWhere(sinceVersion, Some((loTsMicros, hiTsMicros)))
+    changesWhere(sinceVersion, None, Some((loTsMicros, hiTsMicros)))
 
   private def changesWhere(sinceVersion: Long,
+                           untilVersion: Option[Long],
                            tsRange: Option[(Long, Long)]): DataFrame = currentSnapshot match {
     case None => spark.emptyDataFrame
     case Some(cur) =>
@@ -419,12 +428,13 @@ final class LakeTable(val spark: SparkSession, val path: String,
       require(tsRange.isEmpty || cur.schema.fieldNames.contains("ts"),
         s"changesInRange needs a 'ts' column; table at $path has none")
       val schema = fileSchema(cur.schema)
+      val hi = math.min(cur.version, untilVersion.getOrElse(cur.version))
       // Driver-side metadata walk: one snapshot JSON per commit. The PLAN is
       // a single parquet scan over the union of every commit's change files —
       // a consumer catching up over 10^4 commits costs 10^4 manifest reads
       // (metadata), never a 10^4-arm union plan (the analyzer blowup the
       // per-commit-scan shape hit at depth).
-      val newFiles = ((sinceVersion + 1) to cur.version).flatMap { w =>
+      val newFiles = ((sinceVersion + 1) to hi).flatMap { w =>
         require(Files.exists(snapPath(w)),
           s"snapshot v$w missing at $path — history vacuumed past " +
             s"changesSince($sinceVersion)'s window")
