@@ -19,7 +19,12 @@ import graft.stream.CdcIngestJob
   * exactly-once). `--for-seconds N` bounds a follow run (demos, tests).
   *
   * Also: `compact --table DIR [--gc-below-lsn N]`, `vacuum --table DIR
-  * [--keep N]`, `rebucket --table DIR --target DIR --buckets N`.
+  * [--keep N]`, `rebucket --table DIR --target DIR --buckets N`, and
+  * `mirror --source DIR --target DIR --checkpoint DIR [--buckets N]
+  * [--starting-version V] [--follow [interval]] [--for-seconds N]` —
+  * lake→lake replication over the streaming change feed: offsets are source
+  * snapshot versions and the target's epoch manifest dedups, so kill/rerun
+  * resumes exactly-once; default drains available commits and exits.
   * Every documented flag is exercised by the CLI smoke test (MainSpec).
   * The session comes from spark-submit (master/executors configured there);
   * local runs default to local[*].
@@ -87,6 +92,45 @@ object Main {
           }
         } else q.awaitTermination()
         println(s"""{"eventsApplied":${metrics.eventsApplied},"lateDrops":${metrics.lateDrops}}""")
+      case "mirror" =>
+        import org.apache.spark.sql.functions.col
+        val follow = a.get("follow").map(v => if (v == "true") "2 seconds" else v)
+        val target = new graft.lake.LakeTable(spark, req("target"),
+          a.getOrElse("buckets", "64").toInt)
+        val applied = new java.util.concurrent.atomic.LongAdder
+        val q = spark.readStream.format("graftlake")
+          .option("path", req("source"))
+          .option("startingVersion", a.getOrElse("starting-version", "0"))
+          .load()
+          .writeStream
+          .option("checkpointLocation", req("checkpoint"))
+          .trigger(follow match {
+            case Some(iv) => org.apache.spark.sql.streaming.Trigger.ProcessingTime(iv)
+            case None     => org.apache.spark.sql.streaming.Trigger.AvailableNow()
+          })
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            val base = b.withColumnRenamed("_lsn", "lsn").drop("_commit_version")
+            val batch = // watermark column: event time when present
+              if (base.columns.contains("ts")) base.withColumn("commit_ts", col("ts"))
+              else base.withColumn("commit_ts",
+                org.apache.spark.sql.functions.lit(null).cast("timestamp"))
+            val r = target.merge(batch, s"mirror-${req("checkpoint")}", id)
+            applied.add(r.events)
+            ()
+          }
+          .start()
+        if (follow.isDefined) {
+          Runtime.getRuntime.addShutdownHook(new Thread(() =>
+            try q.stop() catch { case _: Throwable => () }))
+          a.get("for-seconds") match {
+            case Some(secs) =>
+              if (!q.awaitTermination(secs.toLong * 1000L)) q.stop()
+              q.awaitTermination()
+            case None => q.awaitTermination()
+          }
+        } else q.awaitTermination()
+        println(s"""{"mirrored":true,"eventsApplied":${applied.sum()},""" +
+          s""""targetVersion":${target.latestVersion.getOrElse(-1L)}}""")
       case "compact" =>
         val t = graft.lake.LakeTable.open(spark, req("table"))
         t.compactAll(a.get("gc-below-lsn").map(_.toLong))

@@ -49,6 +49,27 @@ class MainSpec extends AnyFunSuite {
     assert(!spark.sparkContext.isStopped)
   }
 
+  test("mirror replicates a lake over the change feed, resuming exactly-once") {
+    val work = Files.createTempDirectory("cli-mirror").toString
+    val src = new LakeTable(spark, s"$work/src", numBuckets = 4)
+    val wal = TranscriptWal.synthetic(spark, 500, 8, deleteFraction = 0.1).cache()
+    src.merge(wal.where($"lsn" < 200), "t", 1)
+    src.merge(wal.where($"lsn" >= 200 && $"lsn" < 400), "t", 2)
+    Main.main(Array("mirror", "--source", s"$work/src", "--target", s"$work/dst",
+      "--checkpoint", s"$work/cp", "--buckets", "4"))
+    val dst = LakeTable.open(spark, s"$work/dst")
+    def state(t: LakeTable) = t.read().select("conv_id", "turn_idx", "text")
+    assert(state(dst).exceptAll(state(src)).count() == 0 &&
+      state(src).exceptAll(state(dst)).count() == 0 && state(dst).count() > 0)
+    // new source commit; a second mirror run resumes from the checkpoint
+    src.merge(wal.where($"lsn" >= 400), "t", 3)
+    Main.main(Array("mirror", "--source", s"$work/src", "--target", s"$work/dst",
+      "--checkpoint", s"$work/cp", "--buckets", "4"))
+    assert(state(dst).exceptAll(state(src)).count() == 0 &&
+      state(src).exceptAll(state(dst)).count() == 0)
+    wal.unpersist()
+  }
+
   test("ingest --follow tails until the bounded run stops it gracefully") {
     val work = Files.createTempDirectory("cli-follow").toString
     val wal = TranscriptWal.synthetic(spark, 300, 6)
