@@ -955,6 +955,35 @@ final class LakeTable(val spark: SparkSession, val path: String,
     }
   }
 
+  /** Commit history from RETAINED snapshots (newest first): version,
+    * lineage metrics, watermark, schema width, file/bucket footprint — the
+    * ops "what happened to this table" surface (DESCRIBE HISTORY analog).
+    * Driver-side metadata; no data file is opened.
+    */
+  def history(): DataFrame = {
+    import spark.implicits._
+    val rows = listDir(snapDir)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(n => n.substring(1, n.length - 5).toLong).sorted.reverse
+      .map { v =>
+        val s = readSnapshot(v)
+        (v,
+          s.committedEpochs.size.toLong,
+          s.metrics.getOrElse("last_events", 0L),
+          s.metrics.getOrElse("last_deletes", 0L),
+          s.metrics.getOrElse("total_events", 0L),
+          s.metrics.getOrElse("max_lsn", 0L),
+          s.highWaterMicros,
+          s.schema.fields.length,
+          s.buckets.size.toLong,
+          s.buckets.values.map(_.allFiles.size).sum.toLong,
+          s.changeFiles.map(_.size.toLong).getOrElse(-1L))
+      }
+    rows.toDF("version", "n_epochs", "last_events", "last_deletes",
+      "total_events", "max_lsn", "high_water_micros", "n_columns",
+      "n_buckets", "n_files", "n_change_files")
+  }
+
   /** SQL surface: register the merge-on-read live state as a temp view, so
     * `spark.sql("SELECT ... FROM name WHERE conv_id = 'x'")` works — and the
     * conv_id predicate still bucket-prunes via [[BucketPrune]] (the view is

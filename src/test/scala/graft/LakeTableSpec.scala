@@ -551,6 +551,24 @@ class LakeTableSpec extends AnyFunSuite {
     assert(old.count() == t2.readAsOf(1).count() && old.count() > 0)
   }
 
+  test("history() reports retained commits newest-first with lineage") {
+    val t = freshTable(buckets = 4)
+    t.merge(TranscriptWal.synthetic(spark, 300, 6, deleteFraction = 0.1), "t", 1)
+    t.merge(TranscriptWal.synthetic(spark, 100, 6, seed = 9L,
+      lsnOffset = 1000000L), "t", 2)
+    t.compactAll()
+    val h = t.history().collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(3L, 2L, 1L), "newest first")
+    val v2 = h.find(_.getLong(0) == 2L).get
+    assert(v2.getAs[Long]("last_events") == 100L)
+    assert(v2.getAs[Long]("total_events") == 400L)
+    val v3 = h.find(_.getLong(0) == 3L).get
+    assert(v3.getAs[Long]("n_change_files") == 0L, "compaction adds no changes")
+    t.vacuum(keepSnapshots = 1)
+    assert(t.history().collect().map(_.getLong(0)).toSeq == Seq(3L),
+      "history is bounded by retention")
+  }
+
   test("lineage metrics accumulate in snapshots") {
     val t = freshTable()
     val wal = TranscriptWal.synthetic(spark, 200, 5, deleteFraction = 0.2)
