@@ -40,9 +40,17 @@ final class GraftLakeStreamSource(spark: SparkSession, path: String,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(versionOf).getOrElse(startingVersion)
     val batch = table.changesBetween(from, versionOf(end))
+    // SCHEMA PIN: the stream's schema is fixed at source creation; a column
+    // added by additive evolution mid-stream would widen the batch frame and
+    // misbind against the query's resolved attributes. Project to the pinned
+    // schema (always a subset — evolution is additive): the new column flows
+    // after a stream restart, the running query keeps its contract. Same
+    // semantics as the mainstream lakehouse CDF sources.
+    val pinned = batch.select(schema.fieldNames.toIndexedSeq.map(
+      org.apache.spark.sql.functions.col): _*)
     // Source.getBatch must return a STREAMING frame (MicroBatchExecution
     // asserts it) — re-root the batch plan, same as Spark's own v1 sources.
-    org.apache.spark.sql.graftbridge.asStreamingFrame(batch)
+    org.apache.spark.sql.graftbridge.asStreamingFrame(pinned)
   }
 
   override def stop(): Unit = ()

@@ -118,4 +118,39 @@ class ReplayPropertySpec extends AnyFunSuite {
         s"pruned filter != pruned API for keys $keys")
     }
   }
+
+  test("manifest-stat file skipping is invisible for ANY ts range (property)") {
+    // Skipping is an OPTIMIZATION, not a semantic: for random ranges —
+    // degenerate, disjoint, partial, covering — the skipped plans must equal
+    // the unskipped filter applied in full. Bounds land on/around the
+    // synthetic ts grid (1704067200 + 2*lsn seconds) to probe edges.
+    val base = 1704067200L * 1000000L
+    def tsOf(lsn: Long): Long = base + 2L * lsn * 1000000L
+    val t = new LakeTable(spark, Files.createTempDirectory("skip").toString, 4)
+    val cuts = Seq(100L, 250L)
+    (Long.MinValue +: cuts :+ Long.MaxValue).sliding(2).zipWithIndex.foreach {
+      case (Seq(lo, hi), i) => t.merge(walDf.where($"lsn" >= lo && $"lsn" < hi), "s", i.toLong)
+      case _ =>
+    }
+    t.compactAll() // clean bases ⇒ readTimeRange skipping active
+    val boundGen = Gen.choose(-10L, 460L).map(tsOf)
+    (1L to 8L).foreach { seed =>
+      val a = sample(boundGen, seed)
+      val b = sample(boundGen, seed + 100)
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      val viaSkip = t.readTimeRange(lo, hi).select("conv_id", "turn_idx", "text")
+      val full = t.read().where(unix_micros($"ts").between(lo, hi))
+        .select("conv_id", "turn_idx", "text")
+      assert(viaSkip.exceptAll(full).count() == 0 && full.exceptAll(viaSkip).count() == 0,
+        s"readTimeRange($lo,$hi) diverged from the unskipped filter")
+      val feedSkip = t.changesInRange(lo, hi)
+        .select($"conv_id", $"turn_idx", $"op", $"_lsn")
+      val feedFull = t.changesSince(0)
+        .where($"ts".isNotNull && unix_micros($"ts").between(lo, hi))
+        .select($"conv_id", $"turn_idx", $"op", $"_lsn")
+      assert(feedSkip.exceptAll(feedFull).count() == 0 &&
+        feedFull.exceptAll(feedSkip).count() == 0,
+        s"changesInRange($lo,$hi) diverged from the unskipped feed")
+    }
+  }
 }

@@ -342,6 +342,37 @@ class StreamingSpec extends AnyFunSuite {
     wal.unpersist()
   }
 
+  test("change-feed stream survives additive schema evolution mid-stream") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    val work = Files.createTempDirectory("cdf-evo").toString
+    val src = new LakeTable(spark, s"$work/src", numBuckets = 4)
+    val wal = TranscriptWal.synthetic(spark, 300, 6).cache()
+    src.merge(wal.drop("tool").where($"lsn" < 150), "t", 1) // pre-evolution
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = spark.readStream.format("graftlake").option("path", src.path).load()
+      .writeStream
+      .option("checkpointLocation", s"$work/cp")
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        assert(!b.columns.contains("tool"), "schema pinned at stream start")
+        seen.addAndGet(b.count()); ()
+      }
+      .start()
+    q.processAllAvailable()
+    val afterFirst = seen.get()
+    // the evolving commit (tool column appears) flows WITHOUT breaking the
+    // running query — projected to the pinned schema until a restart
+    src.merge(wal.where($"lsn" >= 150), "t", 2)
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+    assert(afterFirst > 0 && seen.get() == wal.count())
+    // a restarted stream picks up the evolved schema for NEW commits
+    val feed2 = spark.readStream.format("graftlake").option("path", src.path).load()
+    assert(feed2.columns.contains("tool"))
+    wal.unpersist()
+  }
+
   test("follow mode tails the WAL dir across triggers and stops gracefully") {
     val (walDir, conf0) = workDirs()
     val conf = conf0.copy(followInterval = Some("150 milliseconds"))
