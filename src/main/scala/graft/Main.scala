@@ -114,7 +114,9 @@ object Main {
               if (base.columns.contains("ts")) base.withColumn("commit_ts", col("ts"))
               else base.withColumn("commit_ts",
                 org.apache.spark.sql.functions.lit(null).cast("timestamp"))
-            val r = target.merge(batch, s"mirror-${req("checkpoint")}", id)
+            // retry, not bare merge: concurrent maintenance on the target
+            // must cost a retry, never kill the replication query
+            val r = target.mergeWithRetry(batch, s"mirror-${req("checkpoint")}", id)
             applied.add(r.events)
             ()
           }

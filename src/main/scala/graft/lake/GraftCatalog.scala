@@ -81,7 +81,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = dirOf(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
-    new GraftLakeV2Table(spark, dir.toString, Some(version.toLong), None)
+    // loud, typed failure on a non-numeric version string (a bare .toLong
+    // would NPE/NumberFormat the SQL error path)
+    val v = version.trim.toLongOption.getOrElse(throw new IllegalArgumentException(
+      s"VERSION AS OF for a graftlake table must be a numeric snapshot " +
+        s"version; got '$version'"))
+    new GraftLakeV2Table(spark, dir.toString, Some(v), None)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -124,17 +129,64 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftLakeV2Table(spark, dir.toString, None, None)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graftlake schema evolves additively through merges; ALTER TABLE is not supported")
+  /** `ALTER TABLE … ADD COLUMN(S)` — additive only, realized as an empty
+    * merge carrying the widened schema ([[LakeTable.evolveSchema]]): a
+    * SQL-only user can pre-declare a column before any row carries it.
+    * Every non-additive change (drop/rename/retype/position) fails loudly —
+    * the merge-on-read format reads old files through the unified schema,
+    * which only addition preserves.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = dirOf(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val adds = changes.map {
+      case a: TableChange.AddColumn if a.fieldNames.length == 1 =>
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames.head, a.dataType, nullable = true)
+      case a: TableChange.AddColumn => throw new UnsupportedOperationException(
+        s"graftlake has no nested columns to add into: ${a.fieldNames.mkString(".")}")
+      case other => throw new UnsupportedOperationException(
+        s"graftlake supports only additive ALTER TABLE ADD COLUMN(S); got $other")
+    }
+    LakeTable.open(spark, dir.toString).evolveSchema(adds)
+    new GraftLakeV2Table(spark, dir.toString, None, None)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = dirOf(ident)
     if (!isTable(dir)) return false
-    scala.util.Using.resource(Files.walk(dir)) { w =>
-      w.iterator().asScala.toVector.sortBy(-_.getNameCount).foreach(Files.delete)
-    }
+    deleteTreeTolerant(dir)
     true
+  }
+
+  /** Failure-tolerant recursive delete — the vacuum lesson: a concurrent
+    * writer's task-commit creates and renames files (e.g. under
+    * `_temporary`) faster than a plain `Files.walk` can stat them, so
+    * entries vanishing mid-walk are the NORMAL case when dropping a table a
+    * live write is still touching, never an error. Visit failures are
+    * skipped; delete races are swallowed; a second pass catches dirs whose
+    * children appeared after their postVisit.
+    */
+  private def deleteTreeTolerant(dir: Path): Unit = {
+    import java.nio.file.FileVisitResult.CONTINUE
+    def pass(): Unit = Files.walkFileTree(dir, new java.nio.file.SimpleFileVisitor[Path] {
+      override def visitFile(p: Path,
+          a: java.nio.file.attribute.BasicFileAttributes): java.nio.file.FileVisitResult = {
+        try Files.deleteIfExists(p)
+        catch { case _: java.io.IOException => () }
+        CONTINUE
+      }
+      override def visitFileFailed(p: Path,
+          e: java.io.IOException): java.nio.file.FileVisitResult = CONTINUE
+      override def postVisitDirectory(p: Path,
+          e: java.io.IOException): java.nio.file.FileVisitResult = {
+        try Files.deleteIfExists(p)
+        catch { case _: java.io.IOException => () }
+        CONTINUE
+      }
+    })
+    pass()
+    if (Files.exists(dir)) pass() // late-landing children from a dying write
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
@@ -194,9 +246,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val empty = scala.util.Using.resource(Files.list(dir))(!_.iterator().hasNext)
     if (!empty && !cascade)
       throw new IllegalStateException(s"namespace ${namespace.mkString(".")} is not empty")
-    scala.util.Using.resource(Files.walk(dir)) { w =>
-      w.iterator().asScala.toVector.sortBy(-_.getNameCount).foreach(Files.delete)
-    }
+    deleteTreeTolerant(dir)
     true
   }
 }

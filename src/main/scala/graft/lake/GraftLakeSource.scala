@@ -105,10 +105,17 @@ final class GraftLakeRelation(override val sqlContext: SQLContext,
 
   // lazy VAL, not def: one relation instance pins one snapshot resolution —
   // a commit landing between schema() and buildScan() must not make the
-  // returned rows disagree with the declared schema within one query.
+  // returned rows disagree with the declared schema within one query, and
+  // execution must read the VERSION the relation resolved, not whatever is
+  // current when the RDD materializes.
   private lazy val table = LakeTable.open(sqlContext.sparkSession, path)
+  private lazy val pinnedVersion: Option[Long] = table.latestVersion
 
   override def schema: StructType = {
+    // loud on a typo'd path: a read must never come back as a schemaless
+    // empty frame (the v1 append path creates the table BEFORE building
+    // its relation, so writes to fresh paths still work)
+    LakeTable.requireTableAt(path)
     val t = table
     (asOfVersion, changesSince) match {
       // time travel must expose the TARGET snapshot's schema — an older
@@ -136,11 +143,16 @@ final class GraftLakeRelation(override val sqlContext: SQLContext,
     val t = table
     val base = (asOfVersion, changesSince) match {
       case (Some(v), _) => t.readAsOf(v)
-      case (_, Some(v)) => t.changesSince(v)
+      case (_, Some(since)) =>
+        // version-bounded at the relation's pin: commits after resolution
+        // belong to the next incremental read
+        pinnedVersion.fold(t.changesSince(since))(v => t.changesBetween(since, v))
       case _ =>
-        convKeys(filters) match {
-          case Some(keys) => t.readConvs(keys) // bucket-pruned lookup
-          case None       => t.read()
+        (convKeys(filters), pinnedVersion) match {
+          case (Some(keys), Some(v)) => t.readConvsAsOf(v, keys) // pruned + pinned
+          case (Some(keys), None)    => t.readConvs(keys)
+          case (None, Some(v))       => t.readAsOf(v)
+          case (None, None)          => t.read()
         }
     }
     // empty requiredColumns = COUNT(*) shape: zero-column rows, right count

@@ -74,8 +74,12 @@ final class GraftLakeV2Table(spark: SparkSession, path: String,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // READS of a snapshot-less path fail loudly here (writes may still
+    // CREATE a table at a fresh path, so the constructor cannot check).
+    LakeTable.requireTableAt(path)
     new GraftLakeScanBuilder(spark, path, asOfVersion, changesSince, schema())
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(asOfVersion.isEmpty && changesSince.isEmpty,
@@ -154,7 +158,7 @@ final class GraftLakeScanBuilder(spark: SparkSession, path: String,
     * selected bucket is compacted + tombstone-split (then the file rows ARE
     * the table rows — the precondition for any footer-level shortcut).
     */
-  private lazy val innerOpt: Option[ParquetScanBuilder] = (changesSince, snapOpt) match {
+  private lazy val innerFiles: Option[Seq[String]] = (changesSince, snapOpt) match {
     case (None, Some(s)) =>
       val states = convKeys match {
         case Some(keys) =>
@@ -164,9 +168,14 @@ final class GraftLakeScanBuilder(spark: SparkSession, path: String,
       }
       val columnarOk = states.forall(st =>
         st.deltas.isEmpty && (st.base.isEmpty || st.pureBase))
-      if (!columnarOk) None
-      else {
-        val files = states.flatMap(_.base).map(f => new HPath(s"$path/$f"))
+      if (columnarOk) Some(states.flatMap(_.base)) else None
+    case _ => None
+  }
+
+  private lazy val innerOpt: Option[ParquetScanBuilder] = innerFiles match {
+    case Some(rels) =>
+      {
+        val files = rels.map(f => new HPath(s"$path/$f"))
         val index = new InMemoryFileIndex(spark, files, Map.empty, Some(fullSchema))
         // Subclass purely to reach the protected filter slot: parquet then
         // does row-group/page-stat pruning with the pushed predicates (it
@@ -186,6 +195,23 @@ final class GraftLakeScanBuilder(spark: SparkSession, path: String,
     case _ => None
   }
 
+  /** Footer-served aggregates demand MORE than columnar eligibility: after
+    * additive schema evolution, a clean base written earlier simply lacks
+    * the new column in its footer — a pushed MIN/MAX over it would fail or
+    * answer from a partial file set. Proven from the manifest alone: every
+    * selected base file's recorded footer column count must equal the
+    * current file schema's width (op + payload + _lsn; files missing stats
+    * or written before the count was recorded are never trusted). The
+    * ordinary columnar SCAN path needs no such gate — the vectorized reader
+    * fills absent columns with nulls.
+    */
+  private lazy val allFilesSchemaComplete: Boolean = (innerFiles, snapOpt) match {
+    case (Some(rels), Some(s)) =>
+      val expected = lake.fileSchemaOf(s.schema).fields.length
+      rels.forall(f => s.fileStats.get(f).flatMap(_.nCols).contains(expected))
+    case _ => false
+  }
+
   /** Filterless COUNT(*)/MIN/MAX over a compacted table never touch row
     * data: forwarded to the parquet delegate, they are answered from the
     * footers Spark already trusts for its own file source — a metadata
@@ -193,15 +219,17 @@ final class GraftLakeScanBuilder(spark: SparkSession, path: String,
     * filters exist or a column's stats can't serve the aggregate, and
     * Spark's own rule only attempts the push when no residual Filter sits
     * between the Aggregate and the scan, so dirty tables and filtered
-    * aggregates keep the full plan.
+    * aggregates keep the full plan. Additionally gated on every selected
+    * file provably carrying the FULL current schema (see
+    * [[allFilesSchemaComplete]]).
     */
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    innerOpt.exists(_.supportCompletePushDown(agg))
+    allFilesSchemaComplete && innerOpt.exists(_.supportCompletePushDown(agg))
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    aggPushed = innerOpt.exists(_.pushAggregation(agg))
+    aggPushed = allFilesSchemaComplete && innerOpt.exists(_.pushAggregation(agg))
     aggPushed
   }
 
@@ -219,12 +247,21 @@ final class GraftLakeScanBuilder(spark: SparkSession, path: String,
     * engine's read plan via the public V1Scan API. Column pruning still
     * applies (the projection reaches the inner parquet scans); filters are
     * re-applied by Spark above.
+    *
+    * SNAPSHOT PINNED: execution reads the version the BUILDER planned
+    * against, never "whatever is current when the RDD materializes" — a
+    * commit landing between planning and execution must not change what one
+    * query reads (and a self-join whose two sides resolve columnar-vs-
+    * fallback must see ONE version). Retention contract: the pinned
+    * snapshot must survive vacuum until the scan runs, the same window
+    * every in-flight read already requires.
     */
   private def v1Scan(): Scan = {
     val requiredCols = required
     val mode = (asOfVersion, changesSince)
     val keys = convKeys
     val lakePath = path
+    val pinnedVersion = snapOpt.map(_.version) // plan-time snapshot
     new V1Scan {
       override def readSchema(): StructType = requiredCols
       override def toV1TableScan[T <: BaseRelation with TableScan](
@@ -236,10 +273,16 @@ final class GraftLakeScanBuilder(spark: SparkSession, path: String,
             val t = LakeTable.open(context.sparkSession, lakePath)
             val base = mode match {
               case (Some(v), _) => t.readAsOf(v)
-              case (_, Some(v)) => t.changesSince(v)
-              case _ => keys match {
-                case Some(ks) => t.readConvs(ks) // bucket-pruned lookup
-                case None     => t.read()
+              case (_, Some(since)) =>
+                // version-BOUNDED: commits after planning belong to the
+                // next incremental read, not this one
+                pinnedVersion.fold(t.changesSince(since))(
+                  v => t.changesBetween(since, v))
+              case _ => (keys, pinnedVersion) match {
+                case (Some(ks), Some(v)) => t.readConvsAsOf(v, ks) // pruned + pinned
+                case (Some(ks), None)    => t.readConvs(ks)
+                case (None, Some(v))     => t.readAsOf(v)
+                case (None, None)        => t.read()
               }
             }
             base.select(requiredCols.fieldNames.toIndexedSeq.map(col): _*).rdd

@@ -72,19 +72,38 @@ final class LakeTable(val spark: SparkSession, val path: String,
   private val changesDir = Paths.get(path, "changes")
   private val keyCols = Seq("conv_id", "turn_idx")
 
-  Files.createDirectories(snapDir)
-  Files.createDirectories(changesDir)
-  Files.createDirectories(Paths.get(path, "data"))
+  // NO directory creation here: constructing a LakeTable is also how every
+  // READ surface opens a path, and a typo'd read must fail loudly (or come
+  // back empty) without littering empty snapshots/changes/data trees. The
+  // write paths (writeSnapshot / writeChangeManifest / the parquet job's own
+  // output committer) create what they need, exactly when a table is born.
+
   // Automatic bucket pruning for literal conv_id filters on read() — session
   // -wide and idempotent (the rule is an object; register once).
   if (!spark.experimental.extraOptimizations.contains(BucketPrune))
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ BucketPrune
-  // Typed timestamps in table files: Spark's default INT96 parquet encoding
-  // is deprecated AND carries no column statistics, which would blind the
-  // manifest's per-file ts ranges (file skipping). Set once per session —
-  // TIMESTAMP_MICROS round-trips TimestampType exactly.
-  spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+
+  /** Session for the lake's OWN writes: a clone of the caller's session
+    * (same SparkContext, copied conf/UDFs/rules) with
+    * `spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS` — Spark's
+    * default INT96 encoding is deprecated AND carries no column statistics,
+    * which would blind the manifest's per-file ts ranges (file skipping).
+    * Scoped to a clone because the parquet writer reads this key from the
+    * SESSION conf, clobbering any writer-level option
+    * (ParquetUtils.prepareWrite), and mutating the shared session would
+    * silently change the timestamp encoding of every unrelated parquet
+    * write in the user's session merely because a lake table was opened.
+    * Lazy: read-only opens never pay the clone.
+    */
+  private lazy val writeSession: SparkSession = LakeTable.microsWriteSession(spark)
+
+  /** Re-root a frame into [[writeSession]] so its WRITE action plans under
+    * the scoped conf. Must happen before `.observe` (an Observation's
+    * listener registers on the frame's session — the one the action runs in).
+    */
+  private def forWrite(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graftbridge.reroot(df, writeSession)
 
   // ---- snapshot model ------------------------------------------------------
 
@@ -117,7 +136,15 @@ final class LakeTable(val spark: SparkSession, val path: String,
                               * lets periodic tombstone-GC passes skip whole
                               * buckets by metadata; false = unknown
                               * (conservative). */
-                            noTombs: Boolean = false)
+                            noTombs: Boolean = false,
+                            /** Column count of the file's own parquet
+                              * schema: after additive evolution, a base
+                              * written earlier lacks the new columns — any
+                              * footer-level shortcut (aggregate pushdown)
+                              * must prove every file carries the FULL
+                              * current schema first. None = unknown
+                              * (legacy stats; never trusted as complete). */
+                            nCols: Option[Int] = None)
 
   final case class Snapshot(
       version: Long,
@@ -151,6 +178,7 @@ final class LakeTable(val spark: SparkSession, val path: String,
     }
 
   def latestVersion: Option[Long] = {
+    if (!Files.isDirectory(snapDir)) return None
     val vs = listDir(snapDir)
       .filter(n => n.startsWith("v") && n.endsWith(".json"))
       .map(n => n.substring(1, n.length - 5).toLong)
@@ -209,7 +237,8 @@ final class LakeTable(val spark: SparkSession, val path: String,
         e.getKey -> FileStat(
           n.get("minLsn").asLong, n.get("maxLsn").asLong,
           Option(n.get("minTs")).map(_.asLong), Option(n.get("maxTs")).map(_.asLong),
-          Option(n.get("noTombs")).exists(_.asBoolean))
+          Option(n.get("noTombs")).exists(_.asBoolean),
+          Option(n.get("nCols")).map(_.asInt))
       }.toMap
     }.getOrElse(Map.empty[String, FileStat])
     Snapshot(root.get("version").asLong, schema, buckets, epochs, hw, metrics, nb,
@@ -252,8 +281,10 @@ final class LakeTable(val spark: SparkSession, val path: String,
         o.put("minLsn", st.minLsn); o.put("maxLsn", st.maxLsn)
         st.minTs.foreach(o.put("minTs", _)); st.maxTs.foreach(o.put("maxTs", _))
         if (st.noTombs) o.put("noTombs", true)
+        st.nCols.foreach(n => o.put("nCols", n))
       }
     }
+    Files.createDirectories(snapDir) // write path owns directory creation
     // tmp name carries a nonce so two racing writers never collide on it
     val tmp = snapDir.resolve(s".v${s.version}-${java.util.UUID.randomUUID()}.tmp")
     Files.writeString(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node))
@@ -500,8 +531,10 @@ final class LakeTable(val spark: SparkSession, val path: String,
       o.put("minLsn", st.minLsn); o.put("maxLsn", st.maxLsn)
       st.minTs.foreach(o.put("minTs", _)); st.maxTs.foreach(o.put("maxTs", _))
       if (st.noTombs) o.put("noTombs", true)
+      st.nCols.foreach(n => o.put("nCols", n))
     }
     // plain write is fine: only the CAS winner for `version` calls this
+    Files.createDirectories(changesDir)
     Files.writeString(changePath(version), mapper.writeValueAsString(node))
   }
 
@@ -514,7 +547,8 @@ final class LakeTable(val spark: SparkSession, val path: String,
       e.getKey -> FileStat(
         n.get("minLsn").asLong, n.get("maxLsn").asLong,
         Option(n.get("minTs")).map(_.asLong), Option(n.get("maxTs")).map(_.asLong),
-        Option(n.get("noTombs")).exists(_.asBoolean))
+        Option(n.get("noTombs")).exists(_.asBoolean),
+        Option(n.get("nCols")).map(_.asInt))
     }.toMap
     Some((files, stats))
   }
@@ -583,7 +617,9 @@ final class LakeTable(val spark: SparkSession, val path: String,
           }
           colRange("_lsn").map { case (lmin, lmax) =>
             val ts = colRange("ts")
-            rel -> FileStat(lmin, lmax, ts.map(_._1), ts.map(_._2), noTombs)
+            val nCols = r.getFooter.getFileMetaData.getSchema.getFieldCount
+            rel -> FileStat(lmin, lmax, ts.map(_._1), ts.map(_._2), noTombs,
+              Some(nCols))
           }
         }
       } catch { case _: Exception => None }
@@ -641,14 +677,22 @@ final class LakeTable(val spark: SparkSession, val path: String,
 
   /** SQL-surface append (`INSERT INTO` / `df.write.format("graftlake")`):
     * plain payload rows become upserts. Missing CDC envelope columns are
-    * synthesized — op='U', commit_ts=now, and ONE fresh lsn for the whole
-    * batch, `max_lsn + 1` from the snapshot metrics, so the insert wins
-    * last-writer-wins against all prior state (two rows with the SAME key in
-    * one INSERT tie on lsn and collapse nondeterministically — a CDC feed
-    * with real per-row lsns should use [[merge]]). Epoch id self-allocates
-    * per attempt inside the retry loop, so a lost commit race re-reads both
-    * the winner's max_lsn and the next epoch id — never replays under an id
-    * the winner already burned.
+    * synthesized — op='U', commit_ts=now, and PER-ROW lsns above the
+    * snapshot's `max_lsn`: within each key the batch's rows are numbered in
+    * a deterministic sort over the orderable payload columns, so two rows
+    * with the same key in one INSERT resolve to a deterministic winner (the
+    * last in sort order) instead of tying. A CDC feed with real per-row
+    * lsns should use [[merge]] directly.
+    *
+    * Epoch id self-allocates per attempt inside the retry loop, so a lost
+    * commit race re-reads both the winner's max_lsn and the next epoch id.
+    * Returns only an APPLIED result (or throws): this call allocates a
+    * fresh id past every committed one, so `merge` answering
+    * `applied=false` can only mean a concurrent writer burned the id with a
+    * DIFFERENT batch — acknowledging that as success would silently drop
+    * this writer's rows. There is no crash-replay contract to preserve here
+    * (the id was never handed to the caller), so the loser re-reads the
+    * snapshot and retries under a fresh (epochId, lsn) allocation.
     */
   def appendAsUpserts(data: DataFrame, maxRetries: Int = 5): MergeResult = {
     val ns = "sql-append"
@@ -656,21 +700,79 @@ final class LakeTable(val spark: SparkSession, val path: String,
     while (true) {
       val prev = currentSnapshot
       val epochId = prev.flatMap(_.committedEpochs.get(ns)).getOrElse(-1L) + 1
-      val lsn = prev.flatMap(_.metrics.get("max_lsn")).getOrElse(0L) + 1
+      val lsnBase = prev.flatMap(_.metrics.get("max_lsn")).getOrElse(0L)
       val nowMicros = System.currentTimeMillis() * 1000L
       var batch = data
       if (!batch.columns.contains("op")) batch = batch.withColumn("op", lit("U"))
-      if (!batch.columns.contains("lsn")) batch = batch.withColumn("lsn", lit(lsn))
+      if (!batch.columns.contains("lsn")) {
+        // Per-row lsn = max_lsn + row_number within the key, ordered over
+        // the orderable payload columns (nulls first; ties are
+        // byte-identical rows, so any winner is the same row). Partitioned
+        // by key — the numbering shuffle distributes, never a single-task
+        // global window.
+        val orderCols = batch.schema.fields.toSeq
+          .filterNot(f => keyCols.contains(f.name) || f.name == "op")
+          .filter(f => org.apache.spark.sql.catalyst.expressions.RowOrdering
+            .isOrderable(f.dataType))
+          .map(f => col(f.name).asc_nulls_first)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCols.map(col): _*)
+          .orderBy((if (orderCols.isEmpty) Seq(lit(1).asc) else orderCols): _*)
+        batch = batch.withColumn("lsn", lit(lsnBase) + row_number().over(w))
+      }
       if (!batch.columns.contains("commit_ts"))
         batch = batch.withColumn("commit_ts", timestamp_micros(lit(nowMicros)))
-      try return merge(batch, ns, epochId)
-      catch {
-        case e: CommitConflictException =>
+      val merged =
+        try Some(merge(batch, ns, epochId))
+        catch { case _: CommitConflictException => None }
+      merged match {
+        case Some(r) if r.applied => return r
+        case _ => // lost the CAS, or a racer burned this attempt's epoch id
           attempt += 1
-          if (attempt > maxRetries) throw e
+          if (attempt > maxRetries) throw new CommitConflictException(
+            s"appendAsUpserts at $path lost the commit race $attempt times " +
+              "(concurrent writers kept burning the self-allocated epoch id)")
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** Pre-declare additive payload columns (the `ALTER TABLE ADD COLUMN`
+    * surface): an empty merge carrying the widened schema. The new columns
+    * read as null in all existing rows — exactly the semantics a widened
+    * batch would have produced, but available to SQL-only users before any
+    * row carries the column. Additive ONLY: duplicate names fail loudly.
+    */
+  def evolveSchema(newFields: Seq[StructField], maxRetries: Int = 5): Unit = {
+    require(newFields.nonEmpty, "evolveSchema needs at least one new column")
+    val ns = "alter-table"
+    var attempt = 0
+    while (true) {
+      val prev = currentSnapshot.getOrElse(throw new IllegalStateException(
+        s"cannot evolve schema of $path: no snapshot yet (create the table first)"))
+      val dup = newFields.map(_.name).filter(prev.schema.fieldNames.contains)
+      require(dup.isEmpty,
+        s"column(s) ${dup.mkString(", ")} already exist at $path — " +
+          "graftlake schema evolution is additive only")
+      val widened = StructType(Seq(
+        StructField("op", org.apache.spark.sql.types.StringType),
+        StructField("lsn", LongType),
+        StructField("commit_ts", org.apache.spark.sql.types.TimestampType)) ++
+        prev.schema.fields ++ newFields)
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], widened)
+      val epochId = prev.committedEpochs.getOrElse(ns, -1L) + 1
+      val merged =
+        try Some(merge(empty, ns, epochId))
+        catch { case _: CommitConflictException => None }
+      merged match {
+        case Some(r) if r.applied => return
+        case _ => // racer burned the id or won the CAS — re-read and retry
+          attempt += 1
+          if (attempt > maxRetries) throw new CommitConflictException(
+            s"evolveSchema at $path lost the commit race $attempt times")
+      }
+    }
   }
 
   private val profile = sys.env.get("GRAFT_PROFILE").contains("1")
@@ -720,7 +822,9 @@ final class LakeTable(val spark: SparkSession, val path: String,
     val rel = f"data/e$version%010d-${nonce()}"
 
     val obs = org.apache.spark.sql.Observation(s"merge-$version")
-    val out = staged
+    // forWrite BEFORE observe: the Observation listens on the frame's
+    // session, and the write action must run under the scoped write conf.
+    val out = forWrite(staged)
       .observe(obs,
         count(lit(1)).as("n"),
         count(when(col("op") === "D", 1)).as("d"),
@@ -851,9 +955,9 @@ final class LakeTable(val spark: SparkSession, val path: String,
     // row filter — which is also what lets the DSv2 connector hand clean
     // buckets to Spark's vectorized parquet scan as-is. `op` stays in the
     // files; __dead is only the router.
-    compacted.withColumn("b", bucketExpr)
+    forWrite(compacted.withColumn("b", bucketExpr)
       .withColumn("__dead", col("op") === "D")
-      .repartition(math.min(targets.size, width), col("b"))
+      .repartition(math.min(targets.size, width), col("b")))
       .write.mode("overwrite").option("compression", compression)
       .partitionBy("b", "__dead").parquet(s"$path/$rel")
     val newFiles = listSplitBucketFiles(rel, targets)
@@ -893,7 +997,18 @@ final class LakeTable(val spark: SparkSession, val path: String,
     */
   def readConvs(convIds: Seq[String]): DataFrame = currentSnapshot match {
     case None => spark.emptyDataFrame
-    case Some(s) =>
+    case Some(s) => readConvsState(s, convIds)
+  }
+
+  /** Bucket-pruned multi-key lookup AT a retained snapshot version — point
+    * queries compose with time travel, and the DSv2 arbitration fallback
+    * pins its planning snapshot through this (a commit landing between
+    * planning and execution must not change what one query reads).
+    */
+  def readConvsAsOf(version: Long, convIds: Seq[String]): DataFrame =
+    readConvsState(snapshotAt(version), convIds)
+
+  private def readConvsState(s: Snapshot, convIds: Seq[String]): DataFrame = {
       checkBuckets(s)
       val states = convIds.map(c => LakeTable.bucketOf(c, numBuckets)).distinct
         .map(b => s.buckets.getOrElse(b, BucketState(Nil, Nil)))
@@ -1077,7 +1192,8 @@ final class LakeTable(val spark: SparkSession, val path: String,
       // NORMAL case for maintenance over a live table, never an error.
       val files = scala.collection.mutable.ArrayBuffer.empty[Path]
       val dirs = scala.collection.mutable.ArrayBuffer.empty[Path] // deepest-first
-      Files.walkFileTree(dataRoot, new java.nio.file.SimpleFileVisitor[Path] {
+      if (Files.isDirectory(dataRoot))
+        Files.walkFileTree(dataRoot, new java.nio.file.SimpleFileVisitor[Path] {
         import java.nio.file.FileVisitResult.CONTINUE
         override def visitFile(p: Path,
             a: java.nio.file.attribute.BasicFileAttributes): java.nio.file.FileVisitResult = {
@@ -1128,6 +1244,44 @@ final class LakeTable(val spark: SparkSession, val path: String,
 }
 
 object LakeTable {
+  /** ONE micros-scoped write clone per user session (a clone registers its
+    * own listener bus on the shared context — per-table clones would
+    * accumulate them across hundreds of tables). Weak keys: sessions are
+    * never retained past their own lifetime.
+    */
+  private val microsSessions =
+    new java.util.WeakHashMap[SparkSession, SparkSession]()
+
+  private[lake] def microsWriteSession(spark: SparkSession): SparkSession =
+    microsSessions.synchronized {
+      var s = microsSessions.get(spark)
+      if (s == null) {
+        s = org.apache.spark.sql.graftbridge.cloneSession(spark)
+        s.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        microsSessions.put(spark, s)
+      }
+      s
+    }
+
+  /** True iff `path` holds a graftlake table (at least one committed
+    * snapshot). The read surfaces use this to fail LOUDLY on a typo'd path
+    * instead of returning a schemaless empty frame.
+    */
+  def existsAt(path: String): Boolean = {
+    val snapDir = Paths.get(path, "snapshots")
+    Files.isDirectory(snapDir) &&
+      scala.util.Using.resource(Files.list(snapDir))(_.iterator().asScala.exists { p =>
+        val n = p.getFileName.toString
+        n.startsWith("v") && n.endsWith(".json")
+      })
+  }
+
+  private[lake] def requireTableAt(path: String): Unit =
+    require(existsAt(path),
+      s"no graftlake table at $path (no snapshots/ directory with a " +
+        "committed version) — check the path, or create the table by " +
+        "writing to it first")
+
   /** Open an EXISTING table with the bucket count recorded in its latest
     * snapshot (the probe instance never reads data, so no layout check
     * fires). New tables are created via the constructor with an explicit

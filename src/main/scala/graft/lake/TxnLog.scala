@@ -94,14 +94,29 @@ final class TxnLog(spark: SparkSession, val dir: String) {
 
     // Phase 2: CAS-publish the atomic pin. A racing coordinator's win is a
     // conflict, not corruption — merge its state and retry on top.
+    publishPins(pins, epochNs, epochId, maxRetries)
+  }
+
+  /** Phase 2 alone (package-private for the pin-monotonicity test). */
+  private[graft] def publishPins(pins: Map[String, Long], epochNs: String,
+                                 epochId: Long, maxRetries: Int = 5): TxnState = {
     var attempt = 0
     while (true) {
       val cur = latest
       if (cur.exists(_.epochs.get(epochNs).exists(_ >= epochId))) return cur.get
+      // Merge pins per table with MAX: a coordinator publishing late (a
+      // different epoch namespace advanced the same table's pin meanwhile)
+      // must never overwrite a newer pin with its older snapshot version —
+      // readPinned would regress to an earlier table state, breaking the
+      // monotonic cross-table consistency contract. Taking the max keeps
+      // every pin monotone; the late coordinator's OWN epoch is still
+      // recorded (its rows are contained in the newer snapshot anyway).
+      val curTables = cur.map(_.tables).getOrElse(Map.empty)
       val next = TxnState(
         version = cur.map(_.version + 1).getOrElse(1L),
         epochs = cur.map(_.epochs).getOrElse(Map.empty) + (epochNs -> epochId),
-        tables = cur.map(_.tables).getOrElse(Map.empty) ++ pins)
+        tables = curTables ++ pins.map { case (p, v) =>
+          p -> math.max(v, curTables.getOrElse(p, 0L)) })
       try { write(next); return next }
       catch {
         case e: CommitConflictException =>
@@ -113,11 +128,19 @@ final class TxnLog(spark: SparkSession, val dir: String) {
   }
 
   /** The table's state at the txn pin — cross-table consistent with every
-    * other [[readPinned]] against the same manifest version.
+    * other [[readPinned]] against the same manifest version. LOUD on a
+    * table absent from the pin manifest: an unpinned table means the
+    * pipeline is mis-wired (reading a table this txn log never committed),
+    * and an empty frame would mask that as "no data yet".
     */
   def readPinned(table: LakeTable): DataFrame = latest match {
     case Some(s) if s.tables.contains(table.path) =>
       table.readAsOf(s.tables(table.path))
-    case _ => spark.emptyDataFrame
+    case Some(s) => throw new IllegalArgumentException(
+      s"table ${table.path} has no pin in txn log $dir (pinned: " +
+        s"${s.tables.keys.mkString(", ")}) — it was never committed through " +
+        "this coordinator")
+    case None => throw new IllegalStateException(
+      s"txn log $dir has no published manifest yet — commit an epoch first")
   }
 }

@@ -109,6 +109,13 @@ object CdcIngestJob {
     // checkpoint lineages at the birthday bound and make one stream's batchId
     // silently suppress the other's merges.
     val epochNs = "cdc-" + conf.checkpointPath
+    // MIGRATION WINDOW: pre-upgrade checkpoints committed under a 32-bit
+    // MurmurHash of the checkpoint path. A stream resuming such a checkpoint
+    // may crash-replay its last batch, which only the legacy namespace knows
+    // as committed — consult it too (read old key, write new key) so the
+    // replay stays a no-op instead of duplicating the batch's rows.
+    val legacyEpochNs = "cdc-" + java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(conf.checkpointPath).toLong & 0xffffffffL)
     stream.writeStream
       .option("checkpointLocation", conf.checkpointPath)
       // AvailableNow drains what exists and exits (resumable catch-up runs);
@@ -118,9 +125,17 @@ object CdcIngestJob {
         case None           => Trigger.AvailableNow()
       })
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val hw = table.currentSnapshot.map(_.highWaterMicros).getOrElse(0L)
+        val snap = table.currentSnapshot
+        val hw = snap.map(_.highWaterMicros).getOrElse(0L)
         val staged = pipeline(batch, conf, hw)
-        val res = table.merge(staged, epochNs, batchId)
+        // mergeWithRetry, not merge: concurrent maintenance (compactAll, a
+        // second writer) is a supported scenario, and a bare commit race
+        // would throw out of foreachBatch and kill the streaming query —
+        // an operational failure the optimistic retry loop exists to absorb.
+        val res =
+          if (snap.exists(_.committedEpochs.get(legacyEpochNs).exists(_ >= batchId)))
+            table.MergeResult(applied = false, snap.get.version, 0, 0, 0, 0, 0, hw)
+          else table.mergeWithRetry(staged, epochNs, batchId)
         // Late count is its OWN action, not an Observation riding the merge:
         // when a whole batch is late, AQE's empty-relation propagation
         // through the merge's repartition drops the CollectMetrics subtree

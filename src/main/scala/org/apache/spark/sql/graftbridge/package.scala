@@ -22,4 +22,19 @@ package object graftbridge {
     spark.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** Clone of a session: same SparkContext, COPIED session state (conf,
+    * UDFs, experimental rules, listeners). Lets a library scope a SQLConf
+    * override to its own jobs instead of mutating the caller's session.
+    */
+  def cloneSession(spark: SparkSession): SparkSession =
+    spark.asInstanceOf[classic.SparkSession].cloneSession()
+
+  /** Re-root a frame's logical plan into another session (of the same
+    * SparkContext): actions on the result plan and run under THAT session's
+    * conf. Resolution is already done; the plan re-wraps as-is.
+    */
+  def reroot(df: DataFrame, to: SparkSession): DataFrame =
+    classic.Dataset.ofRows(to.asInstanceOf[classic.SparkSession],
+      df.queryExecution.analyzed)
 }

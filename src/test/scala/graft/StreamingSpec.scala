@@ -410,4 +410,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(t.read().count() == got.count())
     wal.unpersist()
   }
+
+  test("ingest survives concurrent compaction: commit races retry, never kill the query") {
+    val (walDir, conf) = workDirs()
+    val wal = TranscriptWal.synthetic(spark, 600, 10, deleteFraction = 0.1).cache()
+    // many small files → many micro-batches (maxFilesPerTrigger=2) → many
+    // commit windows for the maintenance thread to collide with
+    writeWalFiles(walDir, (0 until 6).map(i =>
+      wal.where($"lsn" % 6 === i)))
+    val t = new LakeTable(spark, conf.tablePath, conf.numBuckets)
+    val q = CdcIngestJob.start(spark, walDir, conf)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val maintErrors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val maint = new Thread(() => {
+      while (!stop.get()) {
+        try t.compactAll()
+        catch {
+          case _: graft.lake.CommitConflictException => () // lost race: fine
+          case e: Throwable => maintErrors.add(e)
+        }
+        Thread.sleep(50)
+      }
+    })
+    maint.start()
+    try q.awaitTermination()
+    finally { stop.set(true); maint.join() }
+    assert(q.exception.isEmpty,
+      s"a commit race must cost a retry, not the query: ${q.exception}")
+    assert(maintErrors.isEmpty, s"maintenance failed: ${maintErrors.toArray.mkString(", ")}")
+    val got = t.read().select("conv_id", "turn_idx", "text")
+    val exp = TranscriptWal.expectedState(wal).select("conv_id", "turn_idx", "text")
+    assert(got.exceptAll(exp).count() == 0 && exp.exceptAll(got).count() == 0)
+    wal.unpersist()
+  }
+
+  test("legacy hashed epoch namespace still suppresses a crash-replayed batch") {
+    val (walDir, conf) = workDirs()
+    val wal = TranscriptWal.synthetic(spark, 200, 5).cache()
+    writeWalFiles(walDir, Seq(wal)) // ONE file ⇒ one micro-batch, batchId 0
+    // simulate a pre-upgrade table: batch 0 already committed under the
+    // old 32-bit-hashed checkpoint namespace
+    val legacyNs = "cdc-" + java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(conf.checkpointPath).toLong & 0xffffffffL)
+    val t = new LakeTable(spark, conf.tablePath, conf.numBuckets)
+    t.merge(wal, legacyNs, 0L)
+    val rows = t.read().count()
+    val v = t.latestVersion.get
+    // the resumed stream replays batch 0 (fresh checkpoint dir, same id):
+    // the legacy manifest entry must make it a metadata no-op
+    val q = CdcIngestJob.start(spark, walDir, conf)
+    q.awaitTermination()
+    assert(t.latestVersion.get == v, "replayed batch must not commit again")
+    assert(t.read().count() == rows)
+    wal.unpersist()
+  }
 }

@@ -1,0 +1,214 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lake.{LakeTable, TxnLog}
+import graft.wal.TranscriptWal
+
+/** Round-5 contract hardening: the SQL-append epoch-id race (silent batch
+  * drop), per-row INSERT lsns, pin monotonicity, snapshot-pinned fallback
+  * scans, loud failures on mis-wired reads, schema-gated aggregate
+  * pushdown, ALTER TABLE, and session-conf hygiene.
+  */
+class WriterContractSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def freshTable(buckets: Int = 8) =
+    new LakeTable(spark, Files.createTempDirectory("lake").toString, buckets)
+
+  private def payload(prefix: String, n: Int) =
+    (0 until n).map(i => (s"${prefix}_$i", 0, "user", s"text $prefix $i",
+      Option.empty[String], new java.sql.Timestamp(1717200000000L + i)))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+  test("concurrent SQL INSERTs: a lost epoch-id race retries, never drops a batch") {
+    val t = freshTable(4)
+    t.appendAsUpserts(payload("seed", 5))
+    // Two writers race appendAsUpserts; both self-allocate epoch ids from
+    // the same snapshot. The loser's id is burned by the winner — it must
+    // RETRY under a fresh id, not be swallowed as a replay.
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq("a", "b").map { tag =>
+      new Thread(() => {
+        try t.appendAsUpserts(payload(tag, 40), maxRetries = 20)
+        catch { case e: Throwable => errors.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errors.isEmpty, s"writers failed: ${errors.toArray.mkString(", ")}")
+    val got = t.read()
+    assert(got.where($"conv_id".startsWith("a_")).count() == 40, "writer a's batch landed")
+    assert(got.where($"conv_id".startsWith("b_")).count() == 40, "writer b's batch landed")
+    assert(got.count() == 85)
+  }
+
+  test("same-key rows in one INSERT resolve to a deterministic winner") {
+    def run(): Seq[String] = {
+      val t = freshTable(4)
+      val dup = Seq(
+        ("k", 0, "user", "alpha", Option.empty[String], new java.sql.Timestamp(0L)),
+        ("k", 0, "user", "omega", Option.empty[String], new java.sql.Timestamp(0L)),
+        ("k", 1, "user", "only", Option.empty[String], new java.sql.Timestamp(0L)))
+        .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+      t.appendAsUpserts(dup.repartition(4)) // physical order must not matter
+      t.read().orderBy("turn_idx").select("text").collect().map(_.getString(0)).toSeq
+    }
+    val first = run()
+    // per-row lsns: the LAST row in the deterministic payload sort wins
+    assert(first == Seq("omega", "only"))
+    assert(run() == first, "same input, same winner — every run")
+  }
+
+  test("INSERT lsns stack: a later INSERT supersedes an earlier one per key") {
+    val t = freshTable(4)
+    t.appendAsUpserts(payload("c", 3))
+    t.appendAsUpserts(payload("c", 3).withColumn("text", lit("v2")))
+    assert(t.read().where($"text" === "v2").count() == 3)
+    assert(t.read().count() == 3)
+  }
+
+  test("TxnLog pins are monotone: a late coordinator never regresses a newer pin") {
+    val work = Files.createTempDirectory("txn-mono").toString
+    val t = new LakeTable(spark, s"$work/t", numBuckets = 4)
+    val txn = new TxnLog(spark, s"$work/txn")
+    txn.commit(Seq(t -> payload("p", 4).withColumn("op", lit("U"))
+      .withColumn("lsn", lit(1L))
+      .withColumn("commit_ts", lit(new java.sql.Timestamp(0L)))), "ns1", 0)
+    val pinned = txn.latest.get.tables(t.path)
+    // the table advances through another coordinator/namespace
+    val r2 = t.mergeWithRetry(payload("q", 4).withColumn("op", lit("U"))
+      .withColumn("lsn", lit(2L))
+      .withColumn("commit_ts", lit(new java.sql.Timestamp(0L))), "direct", 0)
+    txn.publishPins(Map(t.path -> r2.version), "ns2", 0)
+    assert(txn.latest.get.tables(t.path) == r2.version)
+    // LATE publish of the older pin (phase 1 ran before ns2 advanced the
+    // table): the pin must hold at the newer version, not regress
+    txn.publishPins(Map(t.path -> pinned), "late-ns", 0)
+    assert(txn.latest.get.tables(t.path) == r2.version,
+      "a max-merge keeps readPinned monotone")
+    assert(txn.readPinned(t).count() == 8)
+  }
+
+  test("readPinned of an unpinned table fails loudly") {
+    val work = Files.createTempDirectory("txn-loud").toString
+    val t = new LakeTable(spark, s"$work/t", numBuckets = 4)
+    t.merge(payload("x", 2).withColumn("op", lit("U"))
+      .withColumn("lsn", lit(1L))
+      .withColumn("commit_ts", lit(new java.sql.Timestamp(0L))), "m", 0)
+    val txn = new TxnLog(spark, s"$work/txn")
+    intercept[IllegalStateException] { txn.readPinned(t) } // no manifest at all
+    val other = new LakeTable(spark, s"$work/other", numBuckets = 4)
+    other.merge(payload("y", 2).withColumn("op", lit("U"))
+      .withColumn("lsn", lit(1L))
+      .withColumn("commit_ts", lit(new java.sql.Timestamp(0L))), "m", 0)
+    txn.commit(Seq(other -> payload("z", 2).withColumn("op", lit("U"))
+      .withColumn("lsn", lit(2L))
+      .withColumn("commit_ts", lit(new java.sql.Timestamp(0L)))), "ns", 0)
+    intercept[IllegalArgumentException] { txn.readPinned(t) } // never pinned here
+  }
+
+  test("reading a nonexistent path fails loudly and creates no directories") {
+    val missing = Files.createTempDirectory("no-table").resolve("typo").toString
+    intercept[Exception] { spark.read.format("graftlake").load(missing).count() }
+    assert(!Files.exists(Paths.get(missing)),
+      "a failed read must not litter table skeleton directories")
+    // v1 view surface fails at resolution too
+    intercept[Exception] {
+      spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW typo_view " +
+        s"USING graftlake OPTIONS (path '$missing')")
+      spark.sql("SELECT * FROM typo_view").collect()
+    }
+    assert(!Files.exists(Paths.get(missing)))
+    // opening via the Scala API stays lenient (creation flow) but writes
+    // nothing until a merge commits
+    val t = new LakeTable(spark, missing, numBuckets = 4)
+    assert(t.read().isEmpty)
+    assert(!Files.exists(Paths.get(missing)))
+    t.merge(payload("n", 2).withColumn("op", lit("U"))
+      .withColumn("lsn", lit(1L))
+      .withColumn("commit_ts", lit(new java.sql.Timestamp(0L))), "m", 0)
+    assert(LakeTable.existsAt(missing) && t.read().count() == 2)
+  }
+
+  test("lake writes scope the parquet timestamp conf; the user session is untouched") {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val before = spark.conf.get(key) // Spark default: INT96
+    val t = freshTable(4)
+    t.merge(TranscriptWal.synthetic(spark, 200, 5), "t", 1)
+    assert(spark.conf.get(key) == before,
+      "opening/writing a lake table must not mutate the caller's session conf")
+    // and the scoped write still produced stats-bearing (micros) ts footers
+    val stats = t.currentSnapshot.get.fileStats
+    assert(stats.nonEmpty && stats.values.exists(_.minTs.isDefined),
+      "ts footer stats require the scoped TIMESTAMP_MICROS write conf")
+  }
+
+  test("DSv2 arbitration fallback reads the snapshot the scan was PLANNED against") {
+    val t = freshTable(4)
+    t.merge(TranscriptWal.synthetic(spark, 300, 6), "t", 1) // deltas ⇒ fallback
+    val df = spark.read.format("graftlake").load(t.path)
+    df.queryExecution.optimizedPlan // pushdown runs: ScanBuilder pins here
+    val planned = t.read().count()
+    // a commit lands between planning and execution
+    t.merge(TranscriptWal.synthetic(spark, 100, 6, seed = 99L,
+      lsnOffset = 5000000L), "t", 2)
+    assert(df.collect().length == planned,
+      "execution must serve the planned version, not the current one")
+    // a fresh query (new planning) sees the new commit
+    assert(spark.read.format("graftlake").load(t.path).count() > planned)
+  }
+
+  test("aggregate pushdown is refused while any clean base lacks the evolved schema") {
+    val t = freshTable(4)
+    val v0 = TranscriptWal.synthetic(spark, 400, 8, withTool = false).drop("tool")
+    t.merge(v0, "t", 1)
+    t.compactAll() // bases WITHOUT the tool column
+    // additive evolution lands `tool` through one conversation's bucket only
+    val oneConv = TranscriptWal.synthetic(spark, 40, 8, lsnOffset = 9000000L)
+      .where($"conv_id" === "c1")
+    t.merge(oneConv, "t", 2)
+    t.compactAll() // rewrites ONLY the dirty bucket — other bases stay stale
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try {
+      val agg = spark.read.format("graftlake").load(t.path).agg(max($"tool").as("m"))
+      val explained = agg.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(!explained.contains("PushedAggregation"),
+        s"stale-schema bases must refuse footer-served aggregates:\n$explained")
+      val exp = t.read().agg(max($"tool")).collect()(0).getString(0)
+      assert(agg.collect()(0).getString(0) == exp, "the full plan stays correct")
+    } finally spark.conf.unset("spark.sql.parquet.aggregatePushdown")
+  }
+
+  test("ALTER TABLE ADD COLUMN pre-declares an additive column; non-additive fails") {
+    val rootDir = Files.createTempDirectory("graft-alter").toString
+    spark.conf.set("spark.sql.catalog.galt", classOf[graft.lake.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.galt.root", rootDir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS galt.ns")
+    spark.sql("CREATE TABLE galt.ns.t " +
+      "(conv_id STRING, turn_idx INT, text STRING) " +
+      "USING graftlake PARTITIONED BY (bucket(4, conv_id))")
+    spark.sql("INSERT INTO galt.ns.t VALUES ('c1', 0, 'hi')")
+    spark.sql("ALTER TABLE galt.ns.t ADD COLUMN score DOUBLE")
+    assert(spark.sql("SELECT * FROM galt.ns.t").columns.toSeq ==
+      Seq("conv_id", "turn_idx", "text", "score"))
+    // existing rows read the new column as null; new rows carry it
+    assert(spark.sql("SELECT score FROM galt.ns.t WHERE conv_id='c1'")
+      .collect()(0).isNullAt(0))
+    spark.sql("INSERT INTO galt.ns.t VALUES ('c2', 0, 'scored', 0.75)")
+    assert(spark.sql("SELECT score FROM galt.ns.t WHERE conv_id='c2'")
+      .collect()(0).getDouble(0) == 0.75)
+    // non-additive changes are refused loudly
+    intercept[Exception] { spark.sql("ALTER TABLE galt.ns.t DROP COLUMN text") }
+    intercept[Exception] { spark.sql("ALTER TABLE galt.ns.t RENAME COLUMN text TO body") }
+    // VERSION AS OF guards its parse instead of NPE-ing
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM galt.ns.t VERSION AS OF 'not-a-version'").collect()
+    }
+    assert(e.getMessage != null, "a typed error, not an NPE")
+  }
+}
