@@ -65,11 +65,20 @@ final class LakeTable(val spark: SparkSession, val path: String,
                         * smaller files than snappy at similar read cost —
                         * at 100 TB the scan is I/O-bound, so bytes saved are
                         * time saved; the write pays a little more CPU. */
-                      val compression: String = "zstd") {
+                      val compression: String = "zstd",
+                      /** Manifest-list length bound: commits append ONE
+                        * O(changed)-sized manifest; when the list would
+                        * exceed this, the commit writes a single merged
+                        * manifest of the full state instead. Amortized
+                        * commit metadata = O(changed + table/maxManifests)
+                        * — the knob trading snapshot-resolution fan-out
+                        * against merge-rewrite frequency. */
+                      val maxManifests: Int = 32) {
 
   private val mapper = new ObjectMapper()
   private val snapDir = Paths.get(path, "snapshots")
   private val changesDir = Paths.get(path, "changes")
+  private val manifestsDir = Paths.get(path, "manifests")
   private val keyCols = Seq("conv_id", "turn_idx")
 
   // NO directory creation here: constructing a LakeTable is also how every
@@ -101,9 +110,22 @@ final class LakeTable(val spark: SparkSession, val path: String,
   /** Re-root a frame into [[writeSession]] so its WRITE action plans under
     * the scoped conf. Must happen before `.observe` (an Observation's
     * listener registers on the frame's session — the one the action runs in).
+    *
+    * The clone's conf is frozen at creation, so the user's LATER runtime
+    * conf changes (AQE toggles, shuffle sizing) would silently stop
+    * reaching lake writes — every write first mirrors the user session's
+    * modifiable conf into the clone, keeping only the timestamp encoding
+    * pinned. Driver-side map copy; noise next to a write job.
     */
-  private def forWrite(df: DataFrame): DataFrame =
+  private def forWrite(df: DataFrame): DataFrame = {
+    val target = writeSession.conf
+    spark.conf.getAll.foreach { case (k, v) =>
+      if (k != "spark.sql.parquet.outputTimestampType" &&
+          spark.conf.isModifiable(k) && !target.getOption(k).contains(v))
+        target.set(k, v)
+    }
     org.apache.spark.sql.graftbridge.reroot(df, writeSession)
+  }
 
   // ---- snapshot model ------------------------------------------------------
 
@@ -165,7 +187,17 @@ final class LakeTable(val spark: SparkSession, val path: String,
       changeFiles: Option[Seq[String]] = None,
       /** Footer stats for every file referenced by `buckets` or
         * `changeFiles` (best-effort: a file absent here is never skipped). */
-      fileStats: Map[String, FileStat] = Map.empty
+      fileStats: Map[String, FileStat] = Map.empty,
+      /** MANIFEST LIST (ordered): the immutable per-commit manifest files
+        * under `manifests/` that together carry `buckets` + `fileStats`.
+        * Each commit appends ONE manifest holding only the buckets it
+        * CHANGED (later entries supersede earlier per bucket), so the
+        * snapshot JSON itself stays O(1) and commit metadata is O(changed)
+        * — never O(table files) rewritten per epoch (the shape that caps
+        * ingest at high bucket/file counts). Empty for legacy snapshots,
+        * whose buckets/fileStats are inlined.
+        */
+      manifestList: Seq[String] = Nil
   )
 
   private def snapPath(v: Long): Path = snapDir.resolve(f"v$v%010d.json")
@@ -188,7 +220,7 @@ final class LakeTable(val spark: SparkSession, val path: String,
   def currentSnapshot: Option[Snapshot] = latestVersion.map(readSnapshot)
 
   /** Retained snapshot by version (DSv2 time travel). Loud when vacuumed. */
-  private[lake] def snapshotAt(v: Long): Snapshot = {
+  private[graft] def snapshotAt(v: Long): Snapshot = {
     require(Files.exists(snapPath(v)),
       s"snapshot v$v does not exist at $path (never written, or vacuumed)")
     readSnapshot(v)
@@ -209,16 +241,19 @@ final class LakeTable(val spark: SparkSession, val path: String,
       s"table at $path was created with numBuckets=${s.numBuckets}, opened " +
         s"with $numBuckets — rebucket() to migrate, never mix bucket layouts")
 
+  private def parseStats(node: com.fasterxml.jackson.databind.JsonNode): Map[String, FileStat] =
+    node.fields().asScala.map { e =>
+      val n = e.getValue
+      e.getKey -> FileStat(
+        n.get("minLsn").asLong, n.get("maxLsn").asLong,
+        Option(n.get("minTs")).map(_.asLong), Option(n.get("maxTs")).map(_.asLong),
+        Option(n.get("noTombs")).exists(_.asBoolean),
+        Option(n.get("nCols")).map(_.asInt))
+    }.toMap
+
   private def readSnapshot(v: Long): Snapshot = {
     val root = mapper.readTree(Files.readString(snapPath(v)))
     val schema = DataType.fromJson(root.get("schema").asText).asInstanceOf[StructType]
-    val buckets = root.get("buckets").fields().asScala.map { e =>
-      val base = e.getValue.get("base").elements().asScala.map(_.asText).toSeq
-      val deltas = e.getValue.get("deltas").elements().asScala.map(_.asText).toSeq
-      val tombs = Option(e.getValue.get("tombs"))
-        .map(_.elements().asScala.map(_.asText).toSeq)
-      e.getKey.toInt -> BucketState(base, deltas, tombs)
-    }.toMap
     val epochs = root.get("committedEpochs").fields().asScala
       .map(e => e.getKey -> e.getValue.asLong).toMap
     val metrics = root.get("metrics").fields().asScala
@@ -231,18 +266,33 @@ final class LakeTable(val spark: SparkSession, val path: String,
       .getOrElse(0L)
     val changeFiles = Option(root.get("changeFiles"))
       .map(_.elements().asScala.map(_.asText).toSeq)
-    val fileStats = Option(root.get("fileStats")).map { fs =>
-      fs.fields().asScala.map { e =>
-        val n = e.getValue
-        e.getKey -> FileStat(
-          n.get("minLsn").asLong, n.get("maxLsn").asLong,
-          Option(n.get("minTs")).map(_.asLong), Option(n.get("maxTs")).map(_.asLong),
-          Option(n.get("noTombs")).exists(_.asBoolean),
-          Option(n.get("nCols")).map(_.asInt))
-      }.toMap
-    }.getOrElse(Map.empty[String, FileStat])
+    val manifestList = Option(root.get("manifestList"))
+      .map(_.elements().asScala.map(_.asText).toSeq)
+    val (buckets, fileStats) = manifestList match {
+      case Some(names) =>
+        // Reconstruct from the ordered manifest list: later manifests
+        // supersede earlier ones PER BUCKET (each carries a changed
+        // bucket's full state + its files' stats). Manifests are immutable
+        // — parsed once per JVM through the shared cache — so resolution
+        // costs O(list) cache hits, not O(table) JSON parsing.
+        var acc = Map.empty[Int, (BucketState, Map[String, FileStat])]
+        names.foreach { n => acc = acc ++ readManifest(n) }
+        (acc.map { case (b, (st, _)) => b -> st },
+          acc.values.iterator.flatMap(_._2).toMap)
+      case None => // legacy inline snapshot
+        val b = root.get("buckets").fields().asScala.map { e =>
+          val base = e.getValue.get("base").elements().asScala.map(_.asText).toSeq
+          val deltas = e.getValue.get("deltas").elements().asScala.map(_.asText).toSeq
+          val tombs = Option(e.getValue.get("tombs"))
+            .map(_.elements().asScala.map(_.asText).toSeq)
+          e.getKey.toInt -> BucketState(base, deltas, tombs)
+        }.toMap
+        val fs = Option(root.get("fileStats")).map(parseStats)
+          .getOrElse(Map.empty[String, FileStat])
+        (b, fs)
+    }
     Snapshot(root.get("version").asLong, schema, buckets, epochs, hw, metrics, nb,
-      changeFiles, fileStats)
+      changeFiles, fileStats, manifestList.getOrElse(Nil))
   }
 
   /** Publish a snapshot with compare-and-swap semantics: the tmp file is
@@ -254,16 +304,40 @@ final class LakeTable(val spark: SparkSession, val path: String,
     * retries its merge), never a silently clobbered commit whose data files
     * become unreferenced orphans. Package-private for the race test.
     */
+  private def putStat(o: com.fasterxml.jackson.databind.node.ObjectNode,
+                      st: FileStat): Unit = {
+    o.put("minLsn", st.minLsn); o.put("maxLsn", st.maxLsn)
+    st.minTs.foreach(o.put("minTs", _)); st.maxTs.foreach(o.put("maxTs", _))
+    if (st.noTombs) o.put("noTombs", true)
+    st.nCols.foreach(n => o.put("nCols", n))
+  }
+
   private[graft] def writeSnapshot(s: Snapshot): Unit = {
     val node = mapper.createObjectNode()
     node.put("version", s.version)
     node.put("schema", s.schema.json)
-    val bn = node.putObject("buckets")
-    s.buckets.foreach { case (b, st) =>
-      val o = bn.putObject(b.toString)
-      val ba = o.putArray("base"); st.base.foreach(ba.add)
-      val da = o.putArray("deltas"); st.deltas.foreach(da.add)
-      st.tombs.foreach { ts => val ta = o.putArray("tombs"); ts.foreach(ta.add) }
+    if (s.manifestList.nonEmpty || s.buckets.isEmpty) {
+      // Manifest-list format: the snapshot JSON carries POINTERS, so its
+      // size is O(list + epochs), independent of table file count. The
+      // summary counters keep history() a flat-JSON read.
+      val ml = node.putArray("manifestList"); s.manifestList.foreach(ml.add)
+      node.put("nFiles", s.buckets.values.map(_.allFiles.size).sum)
+      node.put("nBuckets", s.buckets.size)
+    } else {
+      // Inline (legacy) format — kept for direct writeSnapshot callers that
+      // publish a hand-built snapshot without manifests (race tests, and as
+      // the emulation path proving old tables still open).
+      val bn = node.putObject("buckets")
+      s.buckets.foreach { case (b, st) =>
+        val o = bn.putObject(b.toString)
+        val ba = o.putArray("base"); st.base.foreach(ba.add)
+        val da = o.putArray("deltas"); st.deltas.foreach(da.add)
+        st.tombs.foreach { ts => val ta = o.putArray("tombs"); ts.foreach(ta.add) }
+      }
+      if (s.fileStats.nonEmpty) {
+        val fn = node.putObject("fileStats")
+        s.fileStats.foreach { case (f, st) => putStat(fn.putObject(f), st) }
+      }
     }
     val en = node.putObject("committedEpochs")
     s.committedEpochs.foreach { case (k, v) => en.put(k, v) }
@@ -273,16 +347,6 @@ final class LakeTable(val spark: SparkSession, val path: String,
     s.metrics.foreach { case (k, v) => mn.put(k, v) }
     s.changeFiles.foreach { cf =>
       val ca = node.putArray("changeFiles"); cf.foreach(ca.add)
-    }
-    if (s.fileStats.nonEmpty) {
-      val fn = node.putObject("fileStats")
-      s.fileStats.foreach { case (f, st) =>
-        val o = fn.putObject(f)
-        o.put("minLsn", st.minLsn); o.put("maxLsn", st.maxLsn)
-        st.minTs.foreach(o.put("minTs", _)); st.maxTs.foreach(o.put("maxTs", _))
-        if (st.noTombs) o.put("noTombs", true)
-        st.nCols.foreach(n => o.put("nCols", n))
-      }
     }
     Files.createDirectories(snapDir) // write path owns directory creation
     // tmp name carries a nonce so two racing writers never collide on it
@@ -551,6 +615,75 @@ final class LakeTable(val spark: SparkSession, val path: String,
         Option(n.get("nCols")).map(_.asInt))
     }.toMap
     Some((files, stats))
+  }
+
+  // ---- per-commit BUCKET MANIFESTS (the snapshot's file inventory) ----------
+  //
+  // manifests/m<version>-<nonce>.json — immutable; holds the full new state
+  // (base/deltas/tombs + per-file stats) of ONLY the buckets that commit
+  // changed. The snapshot's manifestList orders them; reconstruction folds
+  // the list with later-wins-per-bucket. Commit metadata therefore costs
+  // O(changed buckets), and every ~maxManifests commits one merged manifest
+  // (full state) resets the list — amortized O(table/maxManifests), the
+  // Iceberg manifest-list shape. CAS losers' manifests are orphans under
+  // the same version-guard vacuum rule as data files.
+
+  private def writeManifest(version: Long,
+                            entries: Map[Int, BucketState],
+                            stats: Map[String, FileStat]): String = {
+    val rel = f"manifests/m$version%010d-${nonce()}.json"
+    val node = mapper.createObjectNode()
+    node.put("version", version)
+    val bn = node.putObject("buckets")
+    entries.foreach { case (b, st) =>
+      val o = bn.putObject(b.toString)
+      val ba = o.putArray("base"); st.base.foreach(ba.add)
+      val da = o.putArray("deltas"); st.deltas.foreach(da.add)
+      st.tombs.foreach { ts => val ta = o.putArray("tombs"); ts.foreach(ta.add) }
+      val sn = o.putObject("stats")
+      st.allFiles.flatMap(f => stats.get(f).map(f -> _))
+        .foreach { case (f, fs) => putStat(sn.putObject(f), fs) }
+    }
+    Files.createDirectories(manifestsDir)
+    Files.writeString(Paths.get(path, rel),
+      mapper.writeValueAsString(node))
+    rel
+  }
+
+  private def readManifest(rel: String): Map[Int, (BucketState, Map[String, FileStat])] = {
+    val node = LakeTable.manifestNode(mapper, s"$path/$rel")
+    node.get("buckets").fields().asScala.map { e =>
+      val o = e.getValue
+      val base = o.get("base").elements().asScala.map(_.asText).toSeq
+      val deltas = o.get("deltas").elements().asScala.map(_.asText).toSeq
+      val tombs = Option(o.get("tombs")).map(_.elements().asScala.map(_.asText).toSeq)
+      val stats = Option(o.get("stats")).map(parseStats).getOrElse(Map.empty[String, FileStat])
+      e.getKey.toInt -> (BucketState(base, deltas, tombs), stats)
+    }.toMap
+  }
+
+  /** Write this commit's manifest(s) and return the new manifest list.
+    * Normally appends ONE manifest covering `changed`; writes a single
+    * MERGED manifest of the whole table instead when the list would exceed
+    * [[maxManifests]] or when upgrading a legacy inline snapshot (whose
+    * buckets no manifest covers yet).
+    */
+  private def writeManifests(version: Long,
+                             finalBuckets: Map[Int, BucketState],
+                             stats: Map[String, FileStat],
+                             changed: Seq[Int],
+                             prev: Option[Snapshot]): Seq[String] = {
+    val prevList = prev.map(_.manifestList).getOrElse(Nil)
+    val legacyUpgrade = prevList.isEmpty && prev.exists(_.buckets.nonEmpty)
+    val mergeAll = legacyUpgrade || prevList.size + 1 > maxManifests
+    if (mergeAll)
+      Seq(writeManifest(version, finalBuckets, stats))
+    else if (changed.isEmpty) prevList
+    else {
+      val entries = changed.distinct.sorted
+        .flatMap(b => finalBuckets.get(b).map(b -> _)).toMap
+      prevList :+ writeManifest(version, entries, stats)
+    }
   }
 
   /** Version encoded in a data file's epoch dir — the version of the commit
@@ -881,6 +1014,11 @@ final class LakeTable(val spark: SparkSession, val path: String,
         (prev.map(_.fileStats).getOrElse(Map.empty) ++ newStats)
           .filter { case (f, _) => referenced.contains(f) }
 
+      // O(changed) commit metadata: one manifest for the buckets this
+      // commit touched or compacted; the snapshot carries pointers only.
+      val manifestList = writeManifests(version, finalBuckets, fileStats,
+        (touched ++ needCompact).distinct, prev)
+
       val snapshot = Snapshot(
         version = version,
         schema = unified,
@@ -897,7 +1035,8 @@ final class LakeTable(val spark: SparkSession, val path: String,
           "max_lsn" -> math.max(
             prev.flatMap(_.metrics.get("max_lsn")).getOrElse(0L), batchMaxLsn)),
         changeFiles = Some(newDeltaFiles),
-        fileStats = fileStats
+        fileStats = fileStats,
+        manifestList = manifestList
       )
       writeSnapshot(snapshot)
       // CAS winner only (writeSnapshot would have thrown otherwise):
@@ -1061,10 +1200,13 @@ final class LakeTable(val spark: SparkSession, val path: String,
         val (finalBuckets, newFiles) = compactBuckets(s.buckets, targets,
           s.schema, version, dropTombstonesBelowLsn)
         val referenced = finalBuckets.values.flatMap(_.allFiles).toSet
+        val fileStats = (s.fileStats ++ readFileStats(newFiles))
+          .filter { case (f, _) => referenced.contains(f) }
+        val manifestList = writeManifests(version, finalBuckets, fileStats,
+          targets, Some(s))
         writeSnapshot(s.copy(version = version, buckets = finalBuckets,
           changeFiles = Some(Nil), // maintenance rewrite: no new changes
-          fileStats = (s.fileStats ++ readFileStats(newFiles))
-            .filter { case (f, _) => referenced.contains(f) }))
+          fileStats = fileStats, manifestList = manifestList))
         writeChangeManifest(version, Nil, Map.empty)
       }
     }
@@ -1073,7 +1215,10 @@ final class LakeTable(val spark: SparkSession, val path: String,
   /** Commit history from RETAINED snapshots (newest first): version,
     * lineage metrics, watermark, schema width, file/bucket footprint — the
     * ops "what happened to this table" surface (DESCRIBE HISTORY analog).
-    * Driver-side metadata; no data file is opened.
+    * Driver-side metadata; no data file is opened, and manifest-format
+    * snapshots are answered from their FLAT JSON alone (summary counters
+    * written at commit) — walking V versions costs V small JSON parses,
+    * never V × table-files of manifest reconstruction.
     */
   def history(): DataFrame = {
     import spark.implicits._
@@ -1081,18 +1226,26 @@ final class LakeTable(val spark: SparkSession, val path: String,
       .filter(n => n.startsWith("v") && n.endsWith(".json"))
       .map(n => n.substring(1, n.length - 5).toLong).sorted.reverse
       .map { v =>
-        val s = readSnapshot(v)
+        val root = mapper.readTree(Files.readString(snapPath(v)))
+        def metric(k: String): Long =
+          Option(root.get("metrics")).flatMap(m => Option(m.get(k)))
+            .map(_.asLong).getOrElse(0L)
+        val schemaWidth = DataType.fromJson(root.get("schema").asText)
+          .asInstanceOf[StructType].fields.length
+        val (nBuckets, nFiles) =
+          (Option(root.get("nBuckets")), Option(root.get("nFiles"))) match {
+            case (Some(b), Some(f)) => (b.asLong, f.asLong) // summary (manifest format)
+            case _ => // legacy inline: count from the embedded bucket map
+              val s = readSnapshot(v)
+              (s.buckets.size.toLong, s.buckets.values.map(_.allFiles.size).sum.toLong)
+          }
         (v,
-          s.committedEpochs.size.toLong,
-          s.metrics.getOrElse("last_events", 0L),
-          s.metrics.getOrElse("last_deletes", 0L),
-          s.metrics.getOrElse("total_events", 0L),
-          s.metrics.getOrElse("max_lsn", 0L),
-          s.highWaterMicros,
-          s.schema.fields.length,
-          s.buckets.size.toLong,
-          s.buckets.values.map(_.allFiles.size).sum.toLong,
-          s.changeFiles.map(_.size.toLong).getOrElse(-1L))
+          Option(root.get("committedEpochs")).map(_.size.toLong).getOrElse(0L),
+          metric("last_events"), metric("last_deletes"),
+          metric("total_events"), metric("max_lsn"),
+          Option(root.get("highWaterMicros")).map(_.asLong).getOrElse(0L),
+          schemaWidth, nBuckets, nFiles,
+          Option(root.get("changeFiles")).map(_.size.toLong).getOrElse(-1L))
       }
     rows.toDF("version", "n_epochs", "last_events", "last_deletes",
       "total_events", "max_lsn", "high_water_micros", "n_columns",
@@ -1179,10 +1332,11 @@ final class LakeTable(val spark: SparkSession, val path: String,
         .map(n => n.substring(1, n.length - 5).toLong)
         .sorted
       val keepVersions = seenVersions.takeRight(math.max(1, keepSnapshots)).toSet
-      val referenced: Set[String] = keepVersions.flatMap { v =>
-        val s = readSnapshot(v)
+      val keptSnapshots = keepVersions.map(readSnapshot)
+      val referenced: Set[String] = keptSnapshots.flatMap { s =>
         s.buckets.values.flatMap(_.allFiles) ++ s.changeFiles.getOrElse(Nil)
       }
+      val referencedManifests: Set[String] = keptSnapshots.flatMap(_.manifestList)
       val dataRoot = Paths.get(path, "data")
       val mtimeFloor = System.currentTimeMillis() - inFlightGraceMs
       var dataDeleted = 0
@@ -1233,6 +1387,21 @@ final class LakeTable(val spark: SparkSession, val path: String,
           }
         }
       }
+      // Manifests GC under the same rules as data files: a manifest not
+      // referenced by any KEPT snapshot is an orphan (CAS loser, or aged
+      // out of every kept manifest list) — unless its encoded version is
+      // beyond the latest committed snapshot, which marks an in-flight
+      // writer that will CAS right after us.
+      if (Files.isDirectory(manifestsDir)) {
+        listDir(manifestsDir).filter(n => n.startsWith("m") && n.endsWith(".json"))
+          .foreach { n =>
+            val rel = s"manifests/$n"
+            val ver = n.drop(1).takeWhile(_.isDigit).toLongOption
+            val inFlight = ver.forall(_ > latest)
+            if (!referencedManifests.contains(rel) && !inFlight)
+              Files.deleteIfExists(manifestsDir.resolve(n))
+          }
+      }
       // Delete-set from the SAME listing as the keep-set (see above) — a
       // version this vacuum never saw is never deleted, however late it
       // lands. Sidecars age out with their snapshots under the same rule.
@@ -1251,6 +1420,32 @@ object LakeTable {
     */
   private val microsSessions =
     new java.util.WeakHashMap[SparkSession, SparkSession]()
+
+  /** JVM-wide parsed-manifest cache (access-ordered LRU). Manifests are
+    * IMMUTABLE once written (names carry a nonce; losers of the snapshot
+    * CAS write differently-named orphans), so a path is a safe cache key —
+    * snapshot resolution then costs O(manifestList) cache hits instead of
+    * re-parsing the table's whole file inventory on every commit and read.
+    */
+  private val manifestCache =
+    new java.util.LinkedHashMap[String, com.fasterxml.jackson.databind.JsonNode](
+        64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, com.fasterxml.jackson.databind.JsonNode]): Boolean =
+        size() > 256
+    }
+
+  private[lake] def manifestNode(mapper: ObjectMapper,
+                                 absPath: String): com.fasterxml.jackson.databind.JsonNode =
+    manifestCache.synchronized {
+      val cached = manifestCache.get(absPath)
+      if (cached != null) cached
+      else {
+        val n = mapper.readTree(Files.readString(Paths.get(absPath)))
+        manifestCache.put(absPath, n)
+        n
+      }
+    }
 
   private[lake] def microsWriteSession(spark: SparkSession): SparkSession =
     microsSessions.synchronized {
