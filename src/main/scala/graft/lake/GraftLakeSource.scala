@@ -34,8 +34,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * engine-delegating fallback.
   */
 final class GraftLakeSource extends RelationProvider with DataSourceRegister
-    with CreatableRelationProvider with TableProvider
-    with org.apache.spark.sql.sources.StreamSourceProvider {
+    with CreatableRelationProvider with TableProvider {
   override def shortName(): String = "graftlake"
 
   private def pathOf(parameters: Map[String, String]): String =
@@ -61,21 +60,6 @@ final class GraftLakeSource extends RelationProvider with DataSourceRegister
     createRelation(sqlContext, parameters)
   }
 
-  // ---- streaming change feed (readStream.format("graftlake")) ---------------
-
-  override def sourceSchema(sqlContext: SQLContext,
-                            schema: Option[StructType],
-                            providerName: String,
-                            parameters: Map[String, String]): (String, StructType) =
-    (shortName(), GraftLakeStreamSource.changesSchema(
-      sqlContext.sparkSession, pathOf(parameters)))
-
-  override def createSource(sqlContext: SQLContext, metadataPath: String,
-                            schema: Option[StructType], providerName: String,
-                            parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source =
-    new GraftLakeStreamSource(sqlContext.sparkSession, pathOf(parameters),
-      parameters.get("startingVersion").map(_.toLong).getOrElse(0L))
-
   // ---- DSv2 (TableProvider) ------------------------------------------------
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -85,12 +69,22 @@ final class GraftLakeSource extends RelationProvider with DataSourceRegister
                         properties: java.util.Map[String, String]): Table =
     v2Table(new CaseInsensitiveStringMap(properties))
 
+  /** `startingVersion` marks CHANGE-FEED mode (it is `changesSince` under
+    * its streaming-conventional name): the table then advertises
+    * MICRO_BATCH_READ and `spark.readStream.format("graftlake")
+    * .option("path", t).option("startingVersion", 0)` tails the commit log
+    * through the DSv2 [[GraftLakeMicroBatchStream]]. The same option on a
+    * batch read returns the bounded feed — one mode, two cardinalities.
+    */
   private def v2Table(options: CaseInsensitiveStringMap): GraftLakeV2Table = {
     val path = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("graftlake requires a 'path' option"))
+    val changesSince = Option(options.get("changesSince")).map(_.toLong)
+      .orElse(Option(options.get("startingVersion")).map(_.toLong))
     new GraftLakeV2Table(SparkSession.active, path,
       Option(options.get("asOfVersion")).map(_.toLong),
-      Option(options.get("changesSince")).map(_.toLong))
+      changesSince,
+      Option(options.get("maxVersionsPerTrigger")).map(_.toLong))
   }
 }
 

@@ -47,8 +47,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 final class GraftLakeV2Table(spark: SparkSession, path: String,
                              asOfVersion: Option[Long],
-                             changesSince: Option[Long]) extends Table
-    with SupportsRead with SupportsWrite {
+                             changesSince: Option[Long],
+                             maxVersionsPerTrigger: Option[Long] = None)
+    extends Table with SupportsRead with SupportsWrite {
 
   require(asOfVersion.isEmpty || changesSince.isEmpty,
     "asOfVersion and changesSince are mutually exclusive")
@@ -62,9 +63,12 @@ final class GraftLakeV2Table(spark: SparkSession, path: String,
     val t = LakeTable.open(spark, path)
     (asOfVersion, changesSince) match {
       case (Some(v), _) => t.snapshotAt(v).schema
-      case (_, Some(_)) => t.currentSnapshot.map(s =>
-        StructType(t.fileSchemaOf(s.schema).fields :+
-          StructField("_commit_version", LongType))).getOrElse(StructType(Nil))
+      case (_, Some(_)) =>
+        val snap = t.currentSnapshot.getOrElse(throw new IllegalArgumentException(
+          s"cannot read/stream changes of $path: no snapshot yet (create " +
+            "the table or merge once first — the feed's schema is the table's)"))
+        StructType(t.fileSchemaOf(snap.schema).fields :+
+          StructField("_commit_version", LongType))
       case _ => t.currentSnapshot.map(_.schema).getOrElse(StructType(Nil))
     }
   }
@@ -72,13 +76,23 @@ final class GraftLakeV2Table(spark: SparkSession, path: String,
   override def schema(): StructType = resolvedSchema
 
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+    // MICRO_BATCH_READ only in change-feed mode: a stream of a graftlake
+    // table IS its change feed (the live state is not an append-only
+    // source), and the feed's schema differs from the batch table's — the
+    // marker keeping the two from mixing is the startingVersion/changesSince
+    // option.
+    if (changesSince.isDefined)
+      java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.MICRO_BATCH_READ, TableCapability.V1_BATCH_WRITE)
+    else
+      java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // READS of a snapshot-less path fail loudly here (writes may still
     // CREATE a table at a fresh path, so the constructor cannot check).
     LakeTable.requireTableAt(path)
-    new GraftLakeScanBuilder(spark, path, asOfVersion, changesSince, schema())
+    new GraftLakeScanBuilder(spark, path, asOfVersion, changesSince, schema(),
+      maxVersionsPerTrigger)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -102,7 +116,9 @@ final class GraftLakeV2Table(spark: SparkSession, path: String,
 final class GraftLakeScanBuilder(spark: SparkSession, path: String,
                                  asOfVersion: Option[Long],
                                  changesSince: Option[Long],
-                                 fullSchema: StructType) extends ScanBuilder
+                                 fullSchema: StructType,
+                                 maxVersionsPerTrigger: Option[Long] = None)
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
@@ -262,8 +278,26 @@ final class GraftLakeScanBuilder(spark: SparkSession, path: String,
     val keys = convKeys
     val lakePath = path
     val pinnedVersion = snapOpt.map(_.version) // plan-time snapshot
+    val scanSpark = spark
+    val scanFullSchema = fullSchema
+    val maxVersions = maxVersionsPerTrigger
     new V1Scan {
       override def readSchema(): StructType = requiredCols
+
+      /** In change-feed mode the same scan serves `readStream`: a DSv2
+        * [[org.apache.spark.sql.connector.read.streaming.MicroBatchStream]]
+        * whose offsets are table versions (no Spark-internal v1 Source
+        * surface). Streaming plans see no column pruning, so the stream's
+        * schema is the full change schema this builder resolved.
+        */
+      override def toMicroBatchStream(checkpointLocation: String)
+          : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+        val since = changesSince.getOrElse(throw new UnsupportedOperationException(
+          "streaming a graftlake table means streaming its CHANGE FEED — " +
+            "pass .option(\"startingVersion\", v) (0 = everything retained)"))
+        new GraftLakeMicroBatchStream(scanSpark, lakePath, since,
+          scanFullSchema, maxVersions)
+      }
       override def toV1TableScan[T <: BaseRelation with TableScan](
           context: SQLContext): T = {
         val rel = new BaseRelation with TableScan {

@@ -530,22 +530,7 @@ final class LakeTable(val spark: SparkSession, val path: String,
       // (metadata), never a 10^4-arm union plan (the analyzer blowup the
       // per-commit-scan shape hit at depth).
       val newFiles = ((sinceVersion + 1) to hi).flatMap { w =>
-        require(Files.exists(snapPath(w)),
-          s"snapshot v$w missing at $path — history vacuumed past " +
-            s"changesSince($sinceVersion)'s window")
-        // sidecar first (O(commit) bytes); the snapshot JSON (O(table
-        // files)) only when the sidecar is missing (crash window, legacy)
-        val (files, stats) = readChangeManifest(w).getOrElse {
-          val s = readSnapshot(w)
-          val fs = s.changeFiles.getOrElse {
-            // legacy snapshot without a change manifest: fall back to the
-            // state diff (correct only when commit w did not inline-compact
-            // its own deltas — all post-manifest tables record changeFiles)
-            s.buckets.values.flatMap(_.deltas)
-              .filter(f => dirVersionOf(f).contains(w)).toSeq
-          }
-          (fs, s.fileStats)
-        }
+        val (files, stats) = changeFilesWithStats(w)
         tsRange match {
           case None => files
           case Some((lo, hi)) => files.filter { f =>
@@ -583,6 +568,29 @@ final class LakeTable(val spark: SparkSession, val path: String,
   // write just falls back to parsing that snapshot.
 
   private def changePath(v: Long): Path = changesDir.resolve(f"c$v%010d.json")
+
+  /** Commit `w`'s change files + their stats: the O(commit)-sized sidecar
+    * first; the snapshot JSON only when the sidecar is missing (crash
+    * window, legacy). Loud when the history has been vacuumed past `w` —
+    * an incremental consumer must never silently skip commits. Shared by
+    * the batch change feed and the streaming MicroBatchStream.
+    */
+  private[lake] def changeFilesWithStats(w: Long): (Seq[String], Map[String, FileStat]) = {
+    require(Files.exists(snapPath(w)),
+      s"snapshot v$w missing at $path — history vacuumed past this " +
+        "incremental read's window")
+    readChangeManifest(w).getOrElse {
+      val s = readSnapshot(w)
+      val fs = s.changeFiles.getOrElse {
+        // legacy snapshot without a change manifest: fall back to the
+        // state diff (correct only when commit w did not inline-compact
+        // its own deltas — all post-manifest tables record changeFiles)
+        s.buckets.values.flatMap(_.deltas)
+          .filter(f => dirVersionOf(f).contains(w)).toSeq
+      }
+      (fs, s.fileStats)
+    }
+  }
 
   private def writeChangeManifest(version: Long, files: Seq[String],
                                   stats: Map[String, FileStat]): Unit = {

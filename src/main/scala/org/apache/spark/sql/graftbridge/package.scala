@@ -12,17 +12,6 @@ package object graftbridge {
   def columnOf(e: Expression): Column = classic.ExpressionUtils.column(e)
   def exprOf(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
-  /** Re-root a batch DataFrame as a STREAMING one (isStreaming=true): the
-    * contract `Source.getBatch` must satisfy — MicroBatchExecution asserts
-    * the returned plan is streaming. Same pattern as Spark's own v1 sources
-    * (they call the private[sql] `internalCreateDataFrame`).
-    */
-  def asStreamingFrame(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
-    spark.internalCreateDataFrame(
-      df.queryExecution.toRdd, df.schema, isStreaming = true)
-  }
-
   /** Clone of a session: same SparkContext, COPIED session state (conf,
     * UDFs, experimental rules, listeners). Lets a library scope a SQLConf
     * override to its own jobs instead of mutating the caller's session.

@@ -298,7 +298,8 @@ class StreamingSpec extends AnyFunSuite {
     val wal = TranscriptWal.synthetic(spark, 600, 8, deleteFraction = 0.1).cache()
     src.merge(wal.where($"lsn" < 200), "t", 1)
 
-    val feed = spark.readStream.format("graftlake").option("path", src.path).load()
+    val feed = spark.readStream.format("graftlake").option("path", src.path)
+      .option("startingVersion", "0").load()
     assert(feed.isStreaming && feed.columns.contains("_commit_version"))
     def apply(b: DataFrame, id: Long): Unit = {
       src.asInstanceOf[Any] // silence unused-capture warnings in closures
@@ -324,7 +325,8 @@ class StreamingSpec extends AnyFunSuite {
     // restart from checkpoint: only the NEW commit replays (exactly-once)
     src.merge(wal.where($"lsn" >= 400), "t", 3)
     val applied = new java.util.concurrent.atomic.AtomicLong(0)
-    val q2 = spark.readStream.format("graftlake").option("path", src.path).load()
+    val q2 = spark.readStream.format("graftlake").option("path", src.path)
+      .option("startingVersion", "0").load()
       .writeStream
       .option("checkpointLocation", s"$work/cp")
       .trigger(Trigger.ProcessingTime("100 milliseconds"))
@@ -350,7 +352,8 @@ class StreamingSpec extends AnyFunSuite {
     val wal = TranscriptWal.synthetic(spark, 300, 6).cache()
     src.merge(wal.drop("tool").where($"lsn" < 150), "t", 1) // pre-evolution
     val seen = new java.util.concurrent.atomic.AtomicLong(0)
-    val q = spark.readStream.format("graftlake").option("path", src.path).load()
+    val q = spark.readStream.format("graftlake").option("path", src.path)
+      .option("startingVersion", "0").load()
       .writeStream
       .option("checkpointLocation", s"$work/cp")
       .trigger(Trigger.ProcessingTime("100 milliseconds"))
@@ -368,7 +371,8 @@ class StreamingSpec extends AnyFunSuite {
     q.stop(); q.awaitTermination()
     assert(afterFirst > 0 && seen.get() == wal.count())
     // a restarted stream picks up the evolved schema for NEW commits
-    val feed2 = spark.readStream.format("graftlake").option("path", src.path).load()
+    val feed2 = spark.readStream.format("graftlake").option("path", src.path)
+      .option("startingVersion", "0").load()
     assert(feed2.columns.contains("tool"))
     wal.unpersist()
   }
@@ -408,6 +412,39 @@ class StreamingSpec extends AnyFunSuite {
     val q2 = CdcIngestJob.start(spark, walDir, conf.copy(followInterval = None))
     q2.awaitTermination()
     assert(t.read().count() == got.count())
+    wal.unpersist()
+  }
+
+  test("DSv2 change-feed stream: version offsets honor maxVersionsPerTrigger") {
+    import org.apache.spark.sql.streaming.Trigger
+    val work = Files.createTempDirectory("mbs").toString
+    val src = new LakeTable(spark, s"$work/src", numBuckets = 4,
+      maxDeltasPerBucket = 1000)
+    val wal = TranscriptWal.synthetic(spark, 400, 8).cache()
+    (0 until 4).foreach(i =>
+      src.merge(wal.where($"lsn" % 4 === i), "t", i.toLong)) // versions 1..4
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Set[Long])]()
+    val q = spark.readStream.format("graftlake")
+      .option("path", src.path)
+      .option("startingVersion", "0")
+      .option("maxVersionsPerTrigger", "1")
+      .load()
+      .writeStream
+      .option("checkpointLocation", s"$work/cp")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        val versions = b.select("_commit_version").distinct()
+          .collect().map(_.getLong(0)).toSet
+        batches.add((id, b.count(), versions)); ()
+      }
+      .start()
+    q.awaitTermination()
+    val seen = batches.toArray(Array.empty[(Long, Long, Set[Long])]).toSeq
+    val nonEmpty = seen.filter(_._2 > 0)
+    assert(nonEmpty.size == 4, s"one micro-batch per version: $seen")
+    assert(nonEmpty.forall(_._3.size == 1), "admission bound: ≤1 version per batch")
+    assert(nonEmpty.flatMap(_._3).toSet == Set(1L, 2L, 3L, 4L))
+    assert(nonEmpty.map(_._2).sum == wal.count(), "every change row exactly once")
     wal.unpersist()
   }
 
