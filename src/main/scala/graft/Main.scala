@@ -19,7 +19,8 @@ import graft.stream.CdcIngestJob
   * exactly-once). `--for-seconds N` bounds a follow run (demos, tests).
   *
   * Also: `compact --table DIR [--gc-below-lsn N]`, `vacuum --table DIR
-  * [--keep N]`, `rebucket --table DIR --target DIR --buckets N`, and
+  * [--keep N]`, `history --table DIR` (one JSON line per retained commit,
+  * newest first), `rebucket --table DIR --target DIR --buckets N`, and
   * `mirror --source DIR --target DIR --checkpoint DIR [--buckets N]
   * [--starting-version V] [--follow [interval]] [--for-seconds N]` —
   * lake→lake replication over the streaming change feed: offsets are source
@@ -47,7 +48,8 @@ object Main {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: ingest|compact|vacuum|rebucket [--flags]")
+    require(args.nonEmpty,
+      "usage: ingest|mirror|compact|vacuum|history|rebucket [--flags]")
     val cmd = args(0)
     val a = parseArgs(args.drop(1).toSeq)
     def req(k: String): String =
@@ -133,6 +135,10 @@ object Main {
         } else q.awaitTermination()
         println(s"""{"mirrored":true,"eventsApplied":${applied.sum()},""" +
           s""""targetVersion":${target.latestVersion.getOrElse(-1L)}}""")
+      case "history" =>
+        // ops surface: one JSON line per retained commit, newest first
+        val t = graft.lake.LakeTable.open(spark, req("table"))
+        t.history().toJSON.collect().foreach(println)
       case "compact" =>
         val t = graft.lake.LakeTable.open(spark, req("table"))
         t.compactAll(a.get("gc-below-lsn").map(_.toLong))

@@ -89,6 +89,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftLakeV2Table(spark, dir.toString, Some(v), None)
   }
 
+  /** `SELECT … FROM graft.ns.t TIMESTAMP AS OF '…'` — Spark hands the
+    * literal as MICROseconds since epoch; resolved to the latest retained
+    * snapshot committed at or before it (loud when vacuumed past it or when
+    * the table predates commit-time recording).
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val dir = dirOf(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val t = LakeTable.open(spark, dir.toString)
+    val v = t.versionAsOfTimestamp(Math.floorDiv(timestampMicros, 1000L))
+    new GraftLakeV2Table(spark, dir.toString, Some(v), None)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: java.util.Map[String, String]): Table = {

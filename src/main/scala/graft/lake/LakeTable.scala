@@ -197,7 +197,12 @@ final class LakeTable(val spark: SparkSession, val path: String,
         * ingest at high bucket/file counts). Empty for legacy snapshots,
         * whose buckets/fileStats are inlined.
         */
-      manifestList: Seq[String] = Nil
+      manifestList: Seq[String] = Nil,
+      /** Wall-clock commit time (millis) recorded by the CAS winner — the
+        * resolution axis for `TIMESTAMP AS OF` time travel. 0 for legacy
+        * snapshots (excluded from timestamp resolution, loud if targeted).
+        */
+      commitTimeMs: Long = 0L
   )
 
   private def snapPath(v: Long): Path = snapDir.resolve(f"v$v%010d.json")
@@ -292,7 +297,8 @@ final class LakeTable(val spark: SparkSession, val path: String,
         (b, fs)
     }
     Snapshot(root.get("version").asLong, schema, buckets, epochs, hw, metrics, nb,
-      changeFiles, fileStats, manifestList.getOrElse(Nil))
+      changeFiles, fileStats, manifestList.getOrElse(Nil),
+      Option(root.get("commitTimeMs")).map(_.asLong).getOrElse(0L))
   }
 
   /** Publish a snapshot with compare-and-swap semantics: the tmp file is
@@ -341,6 +347,7 @@ final class LakeTable(val spark: SparkSession, val path: String,
     }
     val en = node.putObject("committedEpochs")
     s.committedEpochs.foreach { case (k, v) => en.put(k, v) }
+    if (s.commitTimeMs > 0L) node.put("commitTimeMs", s.commitTimeMs)
     node.put("highWaterMicros", s.highWaterMicros)
     node.put("numBuckets", s.numBuckets)
     val mn = node.putObject("metrics")
@@ -415,6 +422,36 @@ final class LakeTable(val spark: SparkSession, val path: String,
         "vacuumed past the retention window)")
     readState(readSnapshot(version)).where(col("op") =!= "D").drop("op", "_lsn")
   }
+
+  /** Resolve `TIMESTAMP AS OF`: the latest RETAINED snapshot whose
+    * wall-clock commit time is ≤ `tsMillis`. Flat-JSON reads only (no
+    * manifest reconstruction). Loud when nothing retained qualifies —
+    * either the time predates the retained history (vacuumed) or targets a
+    * legacy snapshot without a recorded commit time; silently serving a
+    * different version would lie.
+    */
+  def versionAsOfTimestamp(tsMillis: Long): Long = {
+    val candidates = listDir(snapDir)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(n => n.substring(1, n.length - 5).toLong).sorted
+      .map { v =>
+        val root = mapper.readTree(Files.readString(snapPath(v)))
+        v -> Option(root.get("commitTimeMs")).map(_.asLong).getOrElse(0L)
+      }
+    candidates.filter { case (_, t) => t > 0L && t <= tsMillis } match {
+      case Seq() => throw new IllegalArgumentException(
+        s"no retained snapshot at $path committed at or before " +
+          s"timestamp $tsMillis (earliest retained: " +
+          s"${candidates.collectFirst { case (v, t) if t > 0 => s"v$v@$t" }
+            .getOrElse("none with a commit time")}) — " +
+          "history vacuumed, or the table predates commit-time recording")
+      case hits => hits.last._1
+    }
+  }
+
+  /** Live state as of the last commit at/before wall-clock `tsMillis`. */
+  def readAsOfTimestamp(tsMillis: Long): DataFrame =
+    readAsOf(versionAsOfTimestamp(tsMillis))
 
   /** Merge-on-read, PER BUCKET: only buckets that actually carry deltas pay
     * the arbitration window; delta-free buckets stream through the compacted
@@ -1044,7 +1081,8 @@ final class LakeTable(val spark: SparkSession, val path: String,
             prev.flatMap(_.metrics.get("max_lsn")).getOrElse(0L), batchMaxLsn)),
         changeFiles = Some(newDeltaFiles),
         fileStats = fileStats,
-        manifestList = manifestList
+        manifestList = manifestList,
+        commitTimeMs = System.currentTimeMillis()
       )
       writeSnapshot(snapshot)
       // CAS winner only (writeSnapshot would have thrown otherwise):
@@ -1214,7 +1252,8 @@ final class LakeTable(val spark: SparkSession, val path: String,
           targets, Some(s))
         writeSnapshot(s.copy(version = version, buckets = finalBuckets,
           changeFiles = Some(Nil), // maintenance rewrite: no new changes
-          fileStats = fileStats, manifestList = manifestList))
+          fileStats = fileStats, manifestList = manifestList,
+          commitTimeMs = System.currentTimeMillis()))
         writeChangeManifest(version, Nil, Map.empty)
       }
     }

@@ -38,6 +38,9 @@ class MainSpec extends AnyFunSuite {
     Main.main(Array("vacuum", "--table", s"$work/t", "--keep", "1"))
     assert(t.read().count() == expected, "vacuum preserves live state")
 
+    Main.main(Array("history", "--table", s"$work/t")) // one JSON line/commit
+    assert(t.history().count() >= 1)
+
     // the documented rebucket flag is --buckets (not --new-buckets)
     Main.main(Array("rebucket", "--table", s"$work/t",
       "--target", s"$work/t4", "--buckets", "4"))

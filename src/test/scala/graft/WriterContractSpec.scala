@@ -211,4 +211,34 @@ class WriterContractSpec extends AnyFunSuite {
     }
     assert(e.getMessage != null, "a typed error, not an NPE")
   }
+
+  test("TIMESTAMP AS OF resolves the latest snapshot committed at or before it") {
+    val rootDir = Files.createTempDirectory("graft-tsasof").toString
+    spark.conf.set("spark.sql.catalog.gts", classOf[graft.lake.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gts.root", rootDir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gts.ns")
+    spark.sql("CREATE TABLE gts.ns.t (conv_id STRING, turn_idx INT, text STRING) " +
+      "USING graftlake PARTITIONED BY (bucket(4, conv_id))")
+    spark.sql("INSERT INTO gts.ns.t VALUES ('c1', 0, 'first')")
+    Thread.sleep(30)
+    val between = System.currentTimeMillis()
+    Thread.sleep(30)
+    spark.sql("INSERT INTO gts.ns.t VALUES ('c1', 0, 'second')")
+    val t = LakeTable.open(spark, s"$rootDir/ns/t")
+    // Scala surface: between the two inserts → the first state
+    assert(t.readAsOfTimestamp(between)
+      .select("text").collect().map(_.getString(0)).toSeq == Seq("first"))
+    assert(t.readAsOfTimestamp(System.currentTimeMillis())
+      .select("text").collect().map(_.getString(0)).toSeq == Seq("second"))
+    // SQL surface (timestamp literal is UTC; session TZ is UTC)
+    val lit = new java.sql.Timestamp(between).toInstant
+      .atZone(java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    assert(spark.sql(s"SELECT text FROM gts.ns.t TIMESTAMP AS OF '$lit'")
+      .collect().map(_.getString(0)).toSeq == Seq("first"))
+    // a time before the first commit fails loudly rather than lying
+    intercept[Exception] {
+      spark.sql("SELECT * FROM gts.ns.t TIMESTAMP AS OF '1999-01-01 00:00:00'").collect()
+    }
+  }
 }
