@@ -100,10 +100,13 @@ object Main {
         val target = new graft.lake.LakeTable(spark, req("target"),
           a.getOrElse("buckets", "64").toInt)
         val applied = new java.util.concurrent.atomic.LongAdder
-        val q = spark.readStream.format("graftlake")
+        val reader = spark.readStream.format("graftlake")
           .option("path", req("source"))
           .option("startingVersion", a.getOrElse("starting-version", "0"))
-          .load()
+        // bound a deep catch-up's batches (replication admission control)
+        a.get("max-versions-per-trigger")
+          .foreach(reader.option("maxVersionsPerTrigger", _))
+        val q = reader.load()
           .writeStream
           .option("checkpointLocation", req("checkpoint"))
           .trigger(follow match {

@@ -81,9 +81,12 @@ final class GraftLakeSource extends RelationProvider with DataSourceRegister
       throw new IllegalArgumentException("graftlake requires a 'path' option"))
     val changesSince = Option(options.get("changesSince")).map(_.toLong)
       .orElse(Option(options.get("startingVersion")).map(_.toLong))
-    new GraftLakeV2Table(SparkSession.active, path,
-      Option(options.get("asOfVersion")).map(_.toLong),
-      changesSince,
+    // asOfTimestamp (epoch millis) resolves to a version HERE, once — the
+    // non-catalog twin of SQL TIMESTAMP AS OF
+    val asOf = Option(options.get("asOfVersion")).map(_.toLong)
+      .orElse(Option(options.get("asOfTimestamp")).map(ts =>
+        LakeTable.open(SparkSession.active, path).versionAsOfTimestamp(ts.toLong)))
+    new GraftLakeV2Table(SparkSession.active, path, asOf, changesSince,
       Option(options.get("maxVersionsPerTrigger")).map(_.toLong))
   }
 }
@@ -136,7 +139,11 @@ final class GraftLakeRelation(override val sqlContext: SQLContext,
                          filters: Array[Filter]): RDD[Row] = {
     val t = table
     val base = (asOfVersion, changesSince) match {
-      case (Some(v), _) => t.readAsOf(v)
+      case (Some(v), _) =>
+        convKeys(filters) match {
+          case Some(keys) => t.readConvsAsOf(v, keys) // pruned time travel
+          case None       => t.readAsOf(v)
+        }
       case (_, Some(since)) =>
         // version-bounded at the relation's pin: commits after resolution
         // belong to the next incremental read

@@ -75,6 +75,20 @@ final class GraftLakeV2Table(spark: SparkSession, path: String,
 
   override def schema(): StructType = resolvedSchema
 
+  /** DESCRIBE-visible facts: layout + current version, from metadata only. */
+  override def properties(): java.util.Map[String, String] = {
+    val t = LakeTable.open(spark, path)
+    val m = new java.util.HashMap[String, String]()
+    m.put("format", "graftlake")
+    m.put("path", path)
+    t.currentSnapshot.foreach { s =>
+      m.put("numBuckets", s.numBuckets.toString)
+      m.put("currentVersion", s.version.toString)
+      m.put("mergeKey", "conv_id, turn_idx")
+    }
+    m
+  }
+
   override def capabilities(): java.util.Set[TableCapability] =
     // MICRO_BATCH_READ only in change-feed mode: a stream of a graftlake
     // table IS its change feed (the live state is not an append-only
@@ -306,7 +320,10 @@ final class GraftLakeScanBuilder(spark: SparkSession, path: String,
           override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
             val t = LakeTable.open(context.sparkSession, lakePath)
             val base = mode match {
-              case (Some(v), _) => t.readAsOf(v)
+              case (Some(v), _) => keys match {
+                case Some(ks) => t.readConvsAsOf(v, ks) // pruned time travel
+                case None     => t.readAsOf(v)
+              }
               case (_, Some(since)) =>
                 // version-BOUNDED: commits after planning belong to the
                 // next incremental read, not this one

@@ -256,7 +256,37 @@ final class LakeTable(val spark: SparkSession, val path: String,
         Option(n.get("nCols")).map(_.asInt))
     }.toMap
 
+  /** Per-instance parsed-snapshot cache. A published snapshot file is
+    * IMMUTABLE (hard-link CAS, never rewritten), so its content is cacheable
+    * — but the PATH is not its identity: a dropped-and-recreated table
+    * reuses v0000000001.json (the BucketPrune lesson), so the key carries
+    * the file's inode + mtime + size. Hot paths (a streaming merge loop, a
+    * polling mirror) then resolve the current snapshot with one stat call
+    * instead of a JSON parse + manifest fold per poll.
+    */
+  private val snapCache =
+    new java.util.LinkedHashMap[String, Snapshot](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Snapshot]): Boolean = size() > 8
+    }
+
   private def readSnapshot(v: Long): Snapshot = {
+    val key =
+      try {
+        val a = Files.readAttributes(snapPath(v),
+          classOf[java.nio.file.attribute.BasicFileAttributes])
+        s"$v:${a.fileKey}:${a.lastModifiedTime.toMillis}:${a.size}"
+      } catch { case _: java.io.IOException => null }
+    if (key != null) snapCache.synchronized {
+      val c = snapCache.get(key)
+      if (c != null) return c
+    }
+    val s = parseSnapshot(v)
+    if (key != null) snapCache.synchronized { snapCache.put(key, s) }
+    s
+  }
+
+  private def parseSnapshot(v: Long): Snapshot = {
     val root = mapper.readTree(Files.readString(snapPath(v)))
     val schema = DataType.fromJson(root.get("schema").asText).asInstanceOf[StructType]
     val epochs = root.get("committedEpochs").fields().asScala

@@ -212,6 +212,34 @@ class WriterContractSpec extends AnyFunSuite {
     assert(e.getMessage != null, "a typed error, not an NPE")
   }
 
+  test("keyed lookups compose with time travel; asOfTimestamp option; DESCRIBE props") {
+    val t = freshTable(8)
+    val wal = TranscriptWal.synthetic(spark, 400, 8).cache()
+    t.merge(wal, "t", 1)
+    val v1 = t.latestVersion.get
+    val tsAfterV1 = System.currentTimeMillis()
+    Thread.sleep(30)
+    t.merge(wal.where($"conv_id" === "c3")
+      .withColumn("lsn", $"lsn" + 1000000L)
+      .withColumn("text", lit("updated")), "t", 2)
+    // pruned time travel: the keyed read AT v1 sees the pre-update text
+    val got = spark.read.format("graftlake").option("asOfVersion", v1.toString)
+      .load(t.path).where($"conv_id" === "c3").select("conv_id", "turn_idx", "text")
+    val exp = t.readAsOf(v1).where($"conv_id" === "c3")
+      .select("conv_id", "turn_idx", "text")
+    assert(got.exceptAll(exp).count() == 0 && exp.exceptAll(got).count() == 0)
+    assert(got.where($"text" === "updated").count() == 0)
+    // asOfTimestamp option = the non-catalog TIMESTAMP AS OF
+    val byTs = spark.read.format("graftlake")
+      .option("asOfTimestamp", tsAfterV1.toString).load(t.path)
+    assert(byTs.where($"text" === "updated").count() == 0)
+    assert(byTs.count() == t.readAsOf(v1).count())
+    // DESCRIBE-visible properties
+    val props = new graft.lake.GraftLakeV2Table(spark, t.path, None, None).properties()
+    assert(props.get("numBuckets") == "8" && props.get("format") == "graftlake")
+    wal.unpersist()
+  }
+
   test("TIMESTAMP AS OF resolves the latest snapshot committed at or before it") {
     val rootDir = Files.createTempDirectory("graft-tsasof").toString
     spark.conf.set("spark.sql.catalog.gts", classOf[graft.lake.GraftCatalog].getName)
