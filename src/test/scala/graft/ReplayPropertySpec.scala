@@ -92,6 +92,38 @@ class ReplayPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("manifest reconstruction is exact: a fresh reopen equals the writer's view (property)") {
+    // The snapshot's bucket map now lives in a manifest LIST folded
+    // later-wins-per-bucket through caches; this property pins that for
+    // ARBITRARY interleavings of merges and maintenance, a cold reopen
+    // (fresh instance, no warm caches) reconstructs byte-identical state —
+    // buckets, stats and data — to the instance that wrote it.
+    val cutsGen = Gen.listOfN(3, Gen.choose(0L, 400L))
+    (1L to 3L).foreach { seed =>
+      val cuts = sample(cutsGen, seed)
+      val path = Files.createTempDirectory("manifest-prop").toString
+      val t = new LakeTable(spark, path, 4, maxManifests = 3) // force merges
+      val bounds = (Long.MinValue +: cuts.sorted :+ Long.MaxValue).distinct
+      bounds.sliding(2).zipWithIndex.foreach {
+        case (Seq(lo, hi), i) =>
+          t.merge(walDf.where($"lsn" >= lo && $"lsn" < hi), "p", i.toLong)
+          if (i % 2 == 0) t.compactAll()
+          if (i % 3 == 2) t.vacuum(keepSnapshots = 2)
+          val cold = LakeTable.open(spark, path)
+          val sw = t.currentSnapshot.get
+          val sc = cold.currentSnapshot.get
+          assert(sc.version == sw.version && sc.buckets == sw.buckets &&
+            sc.fileStats == sw.fileStats && sc.manifestList == sw.manifestList,
+            s"cold reopen must reconstruct the writer's snapshot (seed=$seed step=$i)")
+          val a = t.read().select("conv_id", "turn_idx", "text")
+          val b = cold.read().select("conv_id", "turn_idx", "text")
+          assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+        case _ =>
+      }
+      assertMatchesOracle(t.read().select("conv_id", "turn_idx", "text"))
+    }
+  }
+
   test("BucketPrune is invisible: random key-set filters equal the unpruned truth") {
     // An optimizer rule that rewrites scan file lists is the riskiest kind
     // of code — this property pins that NO literal conv_id filter, over any
