@@ -78,7 +78,12 @@ final class GraftLakeMicroBatchStream(spark: SparkSession, path: String,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = versionOf(start)
     val latest = availableNowTarget.orElse(table.latestVersion).getOrElse(from)
-    val capped = maxVersionsPerTrigger.fold(latest)(n => math.min(latest, from + n))
+    // Default bound 128 versions/batch: an unbounded deep catch-up would
+    // plan one scan build per version in a single giant batch (driver-side
+    // O(lag)); bounding turns it into a pipeline of right-sized batches —
+    // exactly-once either way. ≤0 opts out.
+    val bound = maxVersionsPerTrigger.getOrElse(128L)
+    val capped = if (bound <= 0L) latest else math.min(latest, from + bound)
     GraftVersionOffset(math.max(from, capped))
   }
 

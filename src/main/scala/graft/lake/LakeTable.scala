@@ -461,6 +461,8 @@ final class LakeTable(val spark: SparkSession, val path: String,
     * different version would lie.
     */
   def versionAsOfTimestamp(tsMillis: Long): Long = {
+    require(Files.isDirectory(snapDir),
+      s"no graftlake table at $path — nothing to time-travel into")
     val candidates = listDir(snapDir)
       .filter(n => n.startsWith("v") && n.endsWith(".json"))
       .map(n => n.substring(1, n.length - 5).toLong).sorted
@@ -1299,7 +1301,7 @@ final class LakeTable(val spark: SparkSession, val path: String,
     */
   def history(): DataFrame = {
     import spark.implicits._
-    val rows = listDir(snapDir)
+    val rows = (if (Files.isDirectory(snapDir)) listDir(snapDir) else Nil)
       .filter(n => n.startsWith("v") && n.endsWith(".json"))
       .map(n => n.substring(1, n.length - 5).toLong).sorted.reverse
       .map { v =>
@@ -1390,7 +1392,12 @@ final class LakeTable(val spark: SparkSession, val path: String,
     * protects recently-written files by mtime (covers a writer that crashed
     * and will retry under the same target version after another writer
     * commits it); 0 disables the grace — single-writer deployments and
-    * tests need no delay.
+    * tests need no delay. In-flight READS need it too: a long-running
+    * concurrent compaction (or query) whose input snapshot ages past
+    * `keepSnapshots` mid-job loses its files under count-based retention
+    * alone — deployments running vacuum concurrently with writers or
+    * maintenance must set the grace to cover their longest op (the
+    * time-based retention every production lakehouse defaults to).
     *
     * @return (snapshotsDeleted, dataFilesDeleted)
     */
@@ -1451,10 +1458,18 @@ final class LakeTable(val spark: SparkSession, val path: String,
       // empty between mkdir and its first file — deleting it would fail the
       // write job, so the same version guard applies; delete races (a file
       // landing between the emptiness check and the delete) are benign for
-      // a best-effort GC and are swallowed.
+      // a best-effort GC and are swallowed. The mtime grace applies to DIRS
+      // too: a writer that LOST the version race is often still running —
+      // its `_temporary` scaffolding is empty between task attempts and its
+      // epoch dir encodes a version ≤ latest (the winner's), so the version
+      // guard alone cannot see it; deleting the scaffolding fails the live
+      // job's output committer (caught by the chaos test). Young dirs are
+      // left alone; a crashed job's leftovers age past the grace and GC.
       dirs.foreach { p =>
         val rel = Paths.get(path).relativize(p).toString.replace('\\', '/')
-        val inFlightDir = dirVersionOf(s"$rel/x").exists(_ > latest)
+        val inFlightDir = dirVersionOf(s"$rel/x").exists(_ > latest) ||
+          (inFlightGraceMs > 0L && scala.util.Try(
+            Files.getLastModifiedTime(p).toMillis).toOption.forall(_ > mtimeFloor))
         if (p != dataRoot && !inFlightDir && Files.isDirectory(p) &&
             scala.util.Try(listDir(p)).toOption.exists(_.isEmpty)) {
           try Files.delete(p)

@@ -212,6 +212,55 @@ class WriterContractSpec extends AnyFunSuite {
     assert(e.getMessage != null, "a typed error, not an NPE")
   }
 
+  test("chaos: concurrent CDC merges, SQL appends, compactions and vacuums converge") {
+    val t = new LakeTable(spark, Files.createTempDirectory("chaos").toString,
+      numBuckets = 8, maxDeltasPerBucket = 2) // frequent inline compaction
+    val wal = TranscriptWal.synthetic(spark, 400, 8).cache()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val epochs = 6
+    val cdcWriter = new Thread(() => {
+      try (0 until epochs).foreach { i =>
+        t.mergeWithRetry(wal.where($"lsn" % epochs === i), "cdc", i.toLong,
+          maxRetries = 100)
+      } catch { case e: Throwable => errors.add(e) }
+    })
+    val sqlAppender = new Thread(() => {
+      try (0 until epochs).foreach { i =>
+        t.appendAsUpserts(payload(s"sql$i", 10), maxRetries = 100)
+      } catch { case e: Throwable => errors.add(e) }
+    })
+    val maintenance = new Thread(() => {
+      while (!done.get()) {
+        // vacuum WITH an mtime grace: count-based retention alone cannot
+        // protect a long-running concurrent compaction whose input
+        // snapshot ages out of the keep window mid-job (this very test
+        // caught that file-delete race at keep=3 with no grace — the
+        // documented contract: grace must cover the longest in-flight op).
+        // Snapshot GC stays active; only young data files are protected.
+        try { t.compactAll(); t.vacuum(keepSnapshots = 3, inFlightGraceMs = 300000L) }
+        catch {
+          case _: graft.lake.CommitConflictException => () // lost race: fine
+          case e: Throwable => errors.add(e)
+        }
+        Thread.sleep(30)
+      }
+    })
+    maintenance.start(); cdcWriter.start(); sqlAppender.start()
+    cdcWriter.join(); sqlAppender.join()
+    done.set(true); maintenance.join()
+    assert(errors.isEmpty, s"writers/maintenance failed: ${errors.toArray.mkString("; ")}")
+    // every CDC row (arbitrated) AND every SQL batch survived the chaos
+    val cdcGot = t.read().where(!$"conv_id".startsWith("sql"))
+      .select("conv_id", "turn_idx", "text")
+    val cdcExp = TranscriptWal.expectedState(wal).select("conv_id", "turn_idx", "text")
+    assert(cdcGot.exceptAll(cdcExp).count() == 0 && cdcExp.exceptAll(cdcGot).count() == 0)
+    (0 until epochs).foreach(i =>
+      assert(t.read().where($"conv_id".startsWith(s"sql${i}_")).count() == 10,
+        s"SQL append $i must not be lost"))
+    wal.unpersist()
+  }
+
   test("keyed lookups compose with time travel; asOfTimestamp option; DESCRIBE props") {
     val t = freshTable(8)
     val wal = TranscriptWal.synthetic(spark, 400, 8).cache()
