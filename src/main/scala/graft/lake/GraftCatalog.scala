@@ -36,7 +36,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `PARTITIONED BY (bucket(n, conv_id))` (the engine's one physical knob);
   * default 64.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: Path = _
@@ -210,6 +211,102 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     Files.createDirectories(to.getParent)
     Files.move(from, to)
   }
+
+  // ---- maintenance procedures (SQL CALL surface) ----------------------------
+  //
+  //   CALL gcat.system.compact(table => 'prod.turns');
+  //   CALL gcat.system.compact(table => 'prod.turns', gc_below_lsn => 500);
+  //   CALL gcat.system.vacuum(table => 'prod.turns', keep => 3, grace_ms => 600000);
+  //
+  // The ops half of the SQL-only story: a deployment that creates, loads and
+  // queries lakes through pure SQL can run its compaction/retention jobs the
+  // same way — no Scala API, no paths. Each returns one result row.
+
+  import org.apache.spark.sql.connector.catalog.procedures.{
+    BoundProcedure, ProcedureParameter, UnboundProcedure}
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+
+  private def tableForProc(qualified: String): LakeTable = {
+    val parts = qualified.split('.')
+    require(parts.length >= 1 && parts.forall(_.nonEmpty),
+      s"procedure table argument must be 'namespace.table'; got '$qualified'")
+    val dir = parts.foldLeft(root)(_ resolve _)
+    if (!isTable(dir)) throw new NoSuchTableException(
+      Identifier.of(parts.init, parts.last))
+    LakeTable.open(spark, dir.toString)
+  }
+
+  private def resultScan(schema: StructType, row: InternalRow): java.util.Iterator[Scan] =
+    java.util.List.of[Scan](new LocalScan {
+      override def readSchema(): StructType = schema
+      override def rows(): Array[InternalRow] = Array(row)
+    }).iterator()
+
+  private object CompactProcedure extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "compact"
+    override def description(): String =
+      "fold delta files into per-bucket bases; optionally GC tombstones " +
+        "below an lsn horizon (stats-pruned: provably-clean buckets skip)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("namespace.table under this catalog").build(),
+      ProcedureParameter.in("gc_below_lsn", LongType).defaultValue("NULL")
+        .comment("also drop tombstones with lsn below this no-straggler horizon")
+        .build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val t = tableForProc(input.getString(0))
+      val horizon = if (input.isNullAt(1)) None else Some(input.getLong(1))
+      t.compactAll(horizon)
+      resultScan(StructType(Seq(
+        org.apache.spark.sql.types.StructField("version", LongType))),
+        InternalRow(t.latestVersion.getOrElse(-1L)))
+    }
+  }
+
+  private object VacuumProcedure extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "vacuum"
+    override def description(): String =
+      "delete snapshots beyond the retention window and every data file / " +
+        "manifest none of the kept snapshots references (writer-safe: " +
+        "in-flight versions and young files/dirs under grace_ms survive)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("namespace.table under this catalog").build(),
+      ProcedureParameter.in("keep", IntegerType).defaultValue("2")
+        .comment("trailing snapshots whose files stay present").build(),
+      ProcedureParameter.in("grace_ms", LongType).defaultValue("0")
+        .comment("protect files/dirs younger than this (cover the longest " +
+          "concurrent op)").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val t = tableForProc(input.getString(0))
+      val (snaps, files) = t.vacuum(input.getInt(1), input.getLong(2))
+      resultScan(StructType(Seq(
+        org.apache.spark.sql.types.StructField("snapshots_deleted", IntegerType),
+        org.apache.spark.sql.types.StructField("data_files_deleted", IntegerType))),
+        InternalRow(snaps, files))
+    }
+  }
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure =
+    (ident.namespace.toSeq, ident.name.toLowerCase) match {
+      case (Seq("system"), "compact") => CompactProcedure
+      case (Seq("system"), "vacuum")  => VacuumProcedure
+      case _ => throw new UnsupportedOperationException(
+        s"unknown procedure ${ident.namespace.mkString(".")}.${ident.name} — " +
+          "graftlake provides system.compact and system.vacuum")
+    }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.toSeq == Seq("system"))
+      Array(Identifier.of(Array("system"), "compact"),
+        Identifier.of(Array("system"), "vacuum"))
+    else Array.empty
 
   // ---- namespaces -----------------------------------------------------------
 

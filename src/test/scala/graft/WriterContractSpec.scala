@@ -289,6 +289,29 @@ class WriterContractSpec extends AnyFunSuite {
     wal.unpersist()
   }
 
+  test("SQL CALL procedures run compact and vacuum with no paths or Scala API") {
+    val rootDir = Files.createTempDirectory("graft-proc").toString
+    spark.conf.set("spark.sql.catalog.gproc", classOf[graft.lake.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gproc.root", rootDir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gproc.ns")
+    spark.sql("CREATE TABLE gproc.ns.t (conv_id STRING, turn_idx INT, text STRING) " +
+      "USING graftlake PARTITIONED BY (bucket(4, conv_id))")
+    (0 until 3).foreach(i =>
+      spark.sql(s"INSERT INTO gproc.ns.t VALUES ('c$i', 0, 'row $i')"))
+    val t = LakeTable.open(spark, s"$rootDir/ns/t")
+    assert(t.currentSnapshot.get.buckets.values.exists(_.deltas.nonEmpty))
+    val v = spark.sql("CALL gproc.system.compact(table => 'ns.t')")
+      .collect()(0).getLong(0)
+    assert(v == t.latestVersion.get, "compact returns the new version")
+    assert(t.currentSnapshot.get.buckets.values.forall(_.deltas.isEmpty))
+    val row = spark.sql("CALL gproc.system.vacuum(table => 'ns.t', keep => 1)")
+      .collect()(0)
+    assert(row.getInt(0) > 0 && row.getInt(1) > 0, s"vacuum reports work: $row")
+    assert(spark.sql("SELECT count(*) FROM gproc.ns.t").collect()(0).getLong(0) == 3,
+      "maintenance preserves the live state")
+    intercept[Exception] { spark.sql("CALL gproc.system.nope()").collect() }
+  }
+
   test("TIMESTAMP AS OF resolves the latest snapshot committed at or before it") {
     val rootDir = Files.createTempDirectory("graft-tsasof").toString
     spark.conf.set("spark.sql.catalog.gts", classOf[graft.lake.GraftCatalog].getName)
