@@ -102,11 +102,8 @@ final class GraftLakeRelation(override val sqlContext: SQLContext,
 
   // lazy VAL, not def: one relation instance pins one snapshot resolution —
   // a commit landing between schema() and buildScan() must not make the
-  // returned rows disagree with the declared schema within one query, and
-  // execution must read the VERSION the relation resolved, not whatever is
-  // current when the RDD materializes.
+  // returned rows disagree with the declared schema within one query.
   private lazy val table = LakeTable.open(sqlContext.sparkSession, path)
-  private lazy val pinnedVersion: Option[Long] = table.latestVersion
 
   override def schema: StructType = {
     // loud on a typo'd path: a read must never come back as a schemaless
@@ -138,6 +135,12 @@ final class GraftLakeRelation(override val sqlContext: SQLContext,
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] = {
     val t = table
+    // Version pinned PER SCAN, not per relation: a relation lives as long
+    // as its temp view, and pinning there would freeze every later query
+    // at the view's first-scan version; pinning here keeps each query
+    // consistent within itself (the scan reads the version it resolved,
+    // whenever the RDD materializes) while later queries see later commits.
+    val pinnedVersion = t.latestVersion
     val base = (asOfVersion, changesSince) match {
       case (Some(v), _) =>
         convKeys(filters) match {

@@ -289,6 +289,19 @@ class WriterContractSpec extends AnyFunSuite {
     wal.unpersist()
   }
 
+  test("a graftlake temp view stays fresh across queries (pin is per scan, not per view)") {
+    val t = freshTable(4)
+    t.merge(TranscriptWal.synthetic(spark, 200, 5), "t", 1)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW fresh_v " +
+      s"USING graftlake OPTIONS (path '${t.path}')")
+    val n1 = spark.sql("SELECT count(*) FROM fresh_v").collect()(0).getLong(0)
+    assert(n1 > 0)
+    t.merge(TranscriptWal.synthetic(spark, 100, 5, seed = 9L, lsnOffset = 7000000L),
+      "t", 2)
+    val n2 = spark.sql("SELECT count(*) FROM fresh_v").collect()(0).getLong(0)
+    assert(n2 > n1, "a later query through the same view sees later commits")
+  }
+
   test("SQL CALL procedures run compact and vacuum with no paths or Scala API") {
     val rootDir = Files.createTempDirectory("graft-proc").toString
     spark.conf.set("spark.sql.catalog.gproc", classOf[graft.lake.GraftCatalog].getName)
