@@ -37,7 +37,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * default 64.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catalogName: String = _
   private var root: Path = _
@@ -306,6 +307,54 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (namespace.isEmpty || namespace.toSeq == Seq("system"))
       Array(Identifier.of(Array("system"), "compact"),
         Identifier.of(Array("system"), "vacuum"))
+    else Array.empty
+
+  // ---- functions (SQL surface of the physical layout) -----------------------
+  //
+  //   SELECT gcat.system.bucket(64, conv_id) FROM ...;
+  //
+  // The writer's exact bucket expression (`pmod(xxhash64(conv_id), n)`)
+  // exposed to SQL: lets a SQL-only user audit routing, pre-aggregate per
+  // physical bucket, or build salted co-partitioned joins against the lake's
+  // layout — and it is the function a clustered DSv2 write distribution
+  // would name. Parity with LakeTable.bucketOf is pinned by a test.
+
+  import org.apache.spark.sql.connector.catalog.functions.{
+    BoundFunction, ScalarFunction, UnboundFunction}
+
+  private object BucketFunction extends UnboundFunction
+      with ScalarFunction[java.lang.Integer] {
+    override def name(): String = "bucket"
+    override def description(): String =
+      "bucket(numBuckets INT, conv_id STRING): the lake's physical bucket " +
+        "of a key — pmod(xxhash64(conv_id, seed=42), numBuckets)"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 2 &&
+        inputType.fields(0).dataType == IntegerType &&
+        inputType.fields(1).dataType == StringType,
+        s"bucket expects (INT numBuckets, STRING conv_id); got $inputType")
+      this
+    }
+    override def inputTypes(): Array[org.apache.spark.sql.types.DataType] =
+      Array(IntegerType, StringType)
+    override def resultType(): org.apache.spark.sql.types.DataType = IntegerType
+    override def isResultNullable: Boolean = true
+    override def produceResult(input: InternalRow): java.lang.Integer =
+      if (input.isNullAt(1) || input.isNullAt(0)) null
+      else Int.box(LakeTable.bucketOf(input.getString(1), input.getInt(0)))
+  }
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    (ident.namespace.toSeq, ident.name.toLowerCase) match {
+      case (Seq("system"), "bucket") => BucketFunction
+      case _ => throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident)
+    }
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.toSeq == Seq("system"))
+      Array(Identifier.of(Array("system"), "bucket"))
     else Array.empty
 
   // ---- namespaces -----------------------------------------------------------

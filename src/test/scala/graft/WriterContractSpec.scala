@@ -302,6 +302,21 @@ class WriterContractSpec extends AnyFunSuite {
     assert(n2 > n1, "a later query through the same view sees later commits")
   }
 
+  test("SQL bucket() function agrees with the writer's physical routing") {
+    val rootDir = Files.createTempDirectory("graft-fn").toString
+    spark.conf.set("spark.sql.catalog.gfn", classOf[graft.lake.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gfn.root", rootDir)
+    val ids = (0 until 50).map(i => s"conv$i")
+    val got = spark.sql(
+      s"SELECT id, gfn.system.bucket(16, id) AS b FROM VALUES " +
+        ids.map(i => s"('$i')").mkString(",") + " AS t(id)")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    ids.foreach(id => assert(got(id) == LakeTable.bucketOf(id, 16),
+      s"SQL bucket() must match the writer expression for $id"))
+    assert(spark.sql("SELECT gfn.system.bucket(16, CAST(NULL AS STRING))")
+      .collect()(0).isNullAt(0), "null key yields null, never a bucket")
+  }
+
   test("SQL CALL procedures run compact and vacuum with no paths or Scala API") {
     val rootDir = Files.createTempDirectory("graft-proc").toString
     spark.conf.set("spark.sql.catalog.gproc", classOf[graft.lake.GraftCatalog].getName)
