@@ -45,11 +45,69 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `V1Write` — the merge is itself a Spark job, so the v1 bridge is the
   * faithful contract, not a compromise).
   */
+/** v1 `Filter` → `Column` for the predicates SQL `DELETE FROM` pushes.
+  * Total over the published Filter algebra minus subquery-ish shapes; an
+  * untranslatable filter makes `canDeleteWhere` answer false (loud plan-time
+  * refusal, never a partial delete).
+  */
+private[lake] object FilterToColumn {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit, not}
+  import org.apache.spark.sql.sources._
+
+  def translate(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v)            => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v)        => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v)           => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+    case In(a, vs)                => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a)                => Some(col(a).isNull)
+    case IsNotNull(a)             => Some(col(a).isNotNull)
+    case StringStartsWith(a, v)   => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v)     => Some(col(a).endsWith(v))
+    case StringContains(a, v)     => Some(col(a).contains(v))
+    case And(l, r) => for { a <- translate(l); b <- translate(r) } yield a && b
+    case Or(l, r)  => for { a <- translate(l); b <- translate(r) } yield a || b
+    case Not(c)    => translate(c).map(not)
+    case _: AlwaysTrue  => Some(lit(true))
+    case _: AlwaysFalse => Some(lit(false))
+    case _ => None
+  }
+
+  def translateAll(fs: Array[Filter]): Option[Column] = {
+    val cols = fs.map(translate)
+    if (cols.exists(_.isEmpty)) None
+    else Some(cols.flatten.foldLeft(lit(true))(_ && _))
+  }
+}
+
 final class GraftLakeV2Table(spark: SparkSession, path: String,
                              asOfVersion: Option[Long],
                              changesSince: Option[Long],
                              maxVersionsPerTrigger: Option[Long] = None)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  /** SQL `DELETE FROM t WHERE …` — a tombstone MERGE of the matching live
+    * rows (fresh lsn above all prior state), O(matched keys), never a
+    * rewrite; `TRUNCATE TABLE` arrives here as AlwaysTrue. CDC semantics
+    * preserved end-to-end: the deletes flow through the change feed, time
+    * travel still serves the pre-delete versions, compaction+GC reclaim.
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    asOfVersion.isEmpty && changesSince.isEmpty &&
+      FilterToColumn.translateAll(filters).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(asOfVersion.isEmpty && changesSince.isEmpty,
+      "cannot DELETE through a time-travel or change-feed relation")
+    val cond = FilterToColumn.translateAll(filters).getOrElse(
+      throw new UnsupportedOperationException(
+        s"unsupported DELETE predicate(s): ${filters.mkString(", ")}"))
+    LakeTable.open(spark, path).deleteWhere(cond)
+  }
 
   require(asOfVersion.isEmpty || changesSince.isEmpty,
     "asOfVersion and changesSince are mutually exclusive")

@@ -985,6 +985,44 @@ final class LakeTable(val spark: SparkSession, val path: String,
     }
   }
 
+  /** SQL `DELETE FROM … WHERE cond`: tombstone the LIVE rows matching
+    * `cond`. CDC-native delete — an O(matched) merge of 'D' rows under a
+    * fresh lsn above all prior state, never a rewrite: the tombstones win
+    * last-writer-wins, compaction folds them, GC ages them out. The match
+    * is evaluated against the arbitrated live state inside each retry
+    * attempt, so a concurrent commit re-evaluates which rows die.
+    * Returns the number of rows tombstoned.
+    */
+  def deleteWhere(cond: org.apache.spark.sql.Column, maxRetries: Int = 5): Long = {
+    val ns = "sql-delete"
+    var attempt = 0
+    while (true) {
+      val prev = currentSnapshot
+      if (prev.isEmpty) return 0L
+      val epochId = prev.flatMap(_.committedEpochs.get(ns)).getOrElse(-1L) + 1
+      val lsn = prev.flatMap(_.metrics.get("max_lsn")).getOrElse(0L) + 1
+      val doomed = readState(prev.get).where(col("op") =!= "D").drop("op", "_lsn")
+        .where(cond).select(keyCols.map(col): _*)
+      if (doomed.isEmpty) return 0L
+      val batch = doomed
+        .withColumn("op", lit("D"))
+        .withColumn("lsn", lit(lsn))
+        .withColumn("commit_ts",
+          timestamp_micros(lit(System.currentTimeMillis() * 1000L)))
+      val merged =
+        try Some(merge(batch, ns, epochId))
+        catch { case _: CommitConflictException => None }
+      merged match {
+        case Some(r) if r.applied => return r.deletes
+        case _ => // lost the CAS or a racer burned the id — re-read, retry
+          attempt += 1
+          if (attempt > maxRetries) throw new CommitConflictException(
+            s"deleteWhere at $path lost the commit race $attempt times")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   private val profile = sys.env.get("GRAFT_PROFILE").contains("1")
   private def phased[A](name: String)(f: => A): A =
     if (!profile) f else {

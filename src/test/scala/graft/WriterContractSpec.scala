@@ -302,6 +302,37 @@ class WriterContractSpec extends AnyFunSuite {
     assert(n2 > n1, "a later query through the same view sees later commits")
   }
 
+  test("SQL DELETE FROM lands tombstone merges; TRUNCATE TABLE empties; history survives") {
+    val rootDir = Files.createTempDirectory("graft-del").toString
+    spark.conf.set("spark.sql.catalog.gdel", classOf[graft.lake.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdel.root", rootDir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gdel.ns")
+    spark.sql("CREATE TABLE gdel.ns.t (conv_id STRING, turn_idx INT, text STRING) " +
+      "USING graftlake PARTITIONED BY (bucket(4, conv_id))")
+    spark.sql("INSERT INTO gdel.ns.t VALUES " +
+      "('c1', 0, 'keep'), ('c1', 1, 'drop me'), ('c2', 0, 'drop me'), ('c3', 0, 'keep')")
+    val t = LakeTable.open(spark, s"$rootDir/ns/t")
+    val vBefore = t.latestVersion.get
+    // key predicate
+    spark.sql("DELETE FROM gdel.ns.t WHERE conv_id = 'c2'")
+    assert(spark.sql("SELECT count(*) FROM gdel.ns.t").collect()(0).getLong(0) == 3)
+    // payload predicate (translated, evaluated on the arbitrated live state)
+    spark.sql("DELETE FROM gdel.ns.t WHERE text LIKE 'drop%'")
+    assert(spark.sql("SELECT conv_id FROM gdel.ns.t ORDER BY conv_id")
+      .collect().map(_.getString(0)).toSeq == Seq("c1", "c3"))
+    // the deletes are CDC events: tombstones flow through the change feed
+    // and time travel still serves the pre-delete state
+    assert(t.changesSince(vBefore).where(col("op") === "D").count() == 2)
+    assert(t.readAsOf(vBefore).count() == 4)
+    // deleting nothing commits nothing
+    val vNoop = t.latestVersion.get
+    spark.sql("DELETE FROM gdel.ns.t WHERE conv_id = 'ghost'")
+    assert(t.latestVersion.get == vNoop, "empty match must not burn a version")
+    spark.sql("TRUNCATE TABLE gdel.ns.t")
+    assert(spark.sql("SELECT count(*) FROM gdel.ns.t").collect()(0).getLong(0) == 0)
+    assert(t.readAsOf(vBefore).count() == 4, "truncate is tombstones, not erasure")
+  }
+
   test("SQL bucket() function agrees with the writer's physical routing") {
     val rootDir = Files.createTempDirectory("graft-fn").toString
     spark.conf.set("spark.sql.catalog.gfn", classOf[graft.lake.GraftCatalog].getName)
