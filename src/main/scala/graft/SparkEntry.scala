@@ -141,6 +141,21 @@ object SparkEntry {
         .orderBy("conv_id", "turn_idx")
     }),
 
+    // SQL DELETE SURFACE — tombstone-merge of the live rows matching a
+    // payload predicate (fresh lsn, O(matched), no rewrite): the applied
+    // state minus every user turn with turn_idx >= 3.
+    "q_sql_delete" -> ((s, dir) => {
+      val work = scratchDir("graftlake")
+      val conf = IngestConfig(tablePath = s"$work/t", checkpointPath = s"$work/cp",
+        numBuckets = 16, enforceWatermark = false)
+      val wal = TranscriptWal.fromEvents(s, dir)
+      val table = CdcIngestJob.replayBatch(s, wal, conf)
+      table.deleteWhere(col("role") === "user" && col("turn_idx") >= 3)
+      table.read()
+        .select("conv_id", "turn_idx", "role", "text", "tool")
+        .orderBy("conv_id", "turn_idx")
+    }),
+
     // CHANGE FEED, TIME-WINDOWED — raw change rows whose event time falls in
     // the middle half of the stream, served with manifest-stat file skipping
     // (exact: the feed is unarbitrated).
@@ -929,6 +944,16 @@ object SparkEntry {
            |  UNION ALL SELECT 'zz_sql', 0, 'user', 'inserted via sql', NULL
            |  UNION ALL SELECT 'zz_sql', 1, 'assistant', 'ack', NULL
            |) ORDER BY conv_id, turn_idx""".stripMargin,
+
+      // The applied state minus the rows a tombstone-merge DELETE matched.
+      "q_sql_delete" ->
+        s"""$walCte, latest AS (
+           |  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+           |  FROM wal)
+           |SELECT conv_id, turn_idx, role, text, tool
+           |FROM latest WHERE rn = 1 AND op <> 'D'
+           |  AND NOT (role = 'user' AND turn_idx >= 3)
+           |ORDER BY conv_id, turn_idx""".stripMargin,
 
       // Raw change rows in the middle half of the event-time span.
       "q_changes_range" ->
