@@ -20,7 +20,9 @@ import graft.stream.CdcIngestJob
   *
   * Also: `compact --table DIR [--gc-below-lsn N]`, `vacuum --table DIR
   * [--keep N]`, `history --table DIR` (one JSON line per retained commit,
-  * newest first), `rebucket --table DIR --target DIR --buckets N`, and
+  * newest first), `delete --table DIR --where 'SQL bool expr'` (tombstone
+  * merge of matching live rows), `rebucket --table DIR --target DIR
+  * --buckets N`, and
   * `mirror --source DIR --target DIR --checkpoint DIR [--buckets N]
   * [--starting-version V] [--follow [interval]] [--for-seconds N]` —
   * lake→lake replication over the streaming change feed: offsets are source
@@ -49,7 +51,7 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: ingest|mirror|compact|vacuum|history|rebucket [--flags]")
+      "usage: ingest|mirror|compact|vacuum|history|delete|rebucket [--flags]")
     val cmd = args(0)
     val a = parseArgs(args.drop(1).toSeq)
     def req(k: String): String =
@@ -138,6 +140,12 @@ object Main {
         } else q.awaitTermination()
         println(s"""{"mirrored":true,"eventsApplied":${applied.sum()},""" +
           s""""targetVersion":${target.latestVersion.getOrElse(-1L)}}""")
+      case "delete" =>
+        // tombstone-merge DELETE: --where takes a SQL boolean expression
+        // over the payload columns, evaluated on the arbitrated live state
+        val t = graft.lake.LakeTable.open(spark, req("table"))
+        val n = t.deleteWhere(org.apache.spark.sql.functions.expr(req("where")))
+        println(s"""{"deleted":$n,"version":${t.latestVersion.getOrElse(-1L)}}""")
       case "history" =>
         // ops surface: one JSON line per retained commit, newest first
         val t = graft.lake.LakeTable.open(spark, req("table"))

@@ -48,6 +48,11 @@ class MainSpec extends AnyFunSuite {
     assert(t4.currentSnapshot.get.numBuckets == 4)
     assert(t4.read().count() == expected)
 
+    Main.main(Array("delete", "--table", s"$work/t4",
+      "--where", "turn_idx = 0"))
+    assert(t4.read().where("turn_idx = 0").count() == 0, "CLI delete tombstones")
+    assert(t4.read().count() < expected && t4.read().count() > 0)
+
     // embedded use: the CLI must not have stopped the caller's session
     assert(!spark.sparkContext.isStopped)
   }
