@@ -156,6 +156,69 @@ object SparkEntry {
         .orderBy("conv_id", "turn_idx")
     }),
 
+    // SQL MERGE SURFACE — `MERGE INTO` via Spark 4's delta-based row-level
+    // operation (SupportsDelta): matched-delete, matched-update and
+    // not-matched-insert arms in ONE statement, landed as one O(changed)
+    // tombstone+upsert epoch (never a rewrite). The reference's write-back
+    // loop (S10) expressed in pure SQL.
+    "q_sql_merge" -> ((s, dir) => {
+      val work = scratchDir("graftlake")
+      val conf = IngestConfig(tablePath = s"$work/lake/ns/t",
+        checkpointPath = s"$work/cp", numBuckets = 16, enforceWatermark = false)
+      val wal = TranscriptWal.fromEvents(s, dir)
+      val table = CdcIngestJob.replayBatch(s, wal, conf)
+      val cat = s"gm${Math.abs(work.hashCode)}"
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.lake.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", s"$work/lake")
+      val live = table.read()
+      val src = live.where(col("role") === "user" && col("turn_idx") >= 3)
+        .select(col("conv_id"), col("turn_idx"),
+          lit(null).cast("string").as("new_text"), lit(null).cast("string").as("role"),
+          lit(null).cast("string").as("tool"), lit(null).cast("timestamp").as("ts"),
+          lit("D").as("src_op"))
+        .unionByName(live.where(col("role") === "assistant" && col("turn_idx") === 1)
+          .select(col("conv_id"), col("turn_idx"),
+            concat(col("text"), lit(" [merged]")).as("new_text"),
+            lit(null).cast("string").as("role"), lit(null).cast("string").as("tool"),
+            lit(null).cast("timestamp").as("ts"), lit("U").as("src_op")))
+        .unionByName(s.sql(
+          "SELECT 'zz_merge' AS conv_id, 0 AS turn_idx, 'merged in' AS new_text, " +
+            "'user' AS role, CAST(NULL AS STRING) AS tool, " +
+            "TIMESTAMP'2024-06-01 00:00:00' AS ts, 'I' AS src_op"))
+      val view = s"mrg_${Math.abs(work.hashCode)}"
+      src.createOrReplaceTempView(view)
+      s.sql(
+        s"""MERGE INTO $cat.ns.t t USING $view s
+           |  ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+           |  WHEN MATCHED AND s.src_op = 'D' THEN DELETE
+           |  WHEN MATCHED AND s.src_op = 'U' THEN UPDATE SET text = s.new_text
+           |  WHEN NOT MATCHED AND s.src_op = 'I' THEN
+           |    INSERT (conv_id, turn_idx, role, text, tool, ts)
+           |    VALUES (s.conv_id, s.turn_idx, s.role, s.new_text, s.tool, s.ts)
+           |""".stripMargin)
+      table.read()
+        .select("conv_id", "turn_idx", "role", "text", "tool")
+        .orderBy("conv_id", "turn_idx")
+    }),
+
+    // SQL UPDATE SURFACE — row-level UPDATE as delete+reinsert under one
+    // lsn pair (deterministic winner), matched against a pinned snapshot.
+    "q_sql_update" -> ((s, dir) => {
+      val work = scratchDir("graftlake")
+      val conf = IngestConfig(tablePath = s"$work/lake/ns/t",
+        checkpointPath = s"$work/cp", numBuckets = 16, enforceWatermark = false)
+      val wal = TranscriptWal.fromEvents(s, dir)
+      val table = CdcIngestJob.replayBatch(s, wal, conf)
+      val cat = s"gu${Math.abs(work.hashCode)}"
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.lake.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", s"$work/lake")
+      s.sql(s"UPDATE $cat.ns.t SET text = concat(text, ' [edited]') " +
+        "WHERE role = 'user' AND turn_idx = 0")
+      table.read()
+        .select("conv_id", "turn_idx", "role", "text", "tool")
+        .orderBy("conv_id", "turn_idx")
+    }),
+
     // CHANGE FEED, TIME-WINDOWED — raw change rows whose event time falls in
     // the middle half of the stream, served with manifest-stat file skipping
     // (exact: the feed is unarbitrated).
@@ -953,6 +1016,36 @@ object SparkEntry {
            |SELECT conv_id, turn_idx, role, text, tool
            |FROM latest WHERE rn = 1 AND op <> 'D'
            |  AND NOT (role = 'user' AND turn_idx >= 3)
+           |ORDER BY conv_id, turn_idx""".stripMargin,
+
+      // The applied state after one MERGE: user/turn>=3 rows deleted,
+      // assistant/turn=1 texts updated, one fresh row inserted.
+      "q_sql_merge" ->
+        s"""$walCte, latest AS (
+           |  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+           |  FROM wal),
+           |state AS (
+           |  SELECT conv_id, turn_idx, role,
+           |         CASE WHEN role = 'assistant' AND turn_idx = 1
+           |              THEN text || ' [merged]' ELSE text END AS text,
+           |         tool
+           |  FROM latest WHERE rn = 1 AND op <> 'D'
+           |    AND NOT (role = 'user' AND turn_idx >= 3))
+           |SELECT * FROM (
+           |  SELECT * FROM state
+           |  UNION ALL SELECT 'zz_merge', 0, 'user', 'merged in', NULL
+           |) ORDER BY conv_id, turn_idx""".stripMargin,
+
+      // The applied state after one UPDATE of user/turn=0 texts.
+      "q_sql_update" ->
+        s"""$walCte, latest AS (
+           |  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+           |  FROM wal)
+           |SELECT conv_id, turn_idx, role,
+           |       CASE WHEN role = 'user' AND turn_idx = 0
+           |            THEN text || ' [edited]' ELSE text END AS text,
+           |       tool
+           |FROM latest WHERE rn = 1 AND op <> 'D'
            |ORDER BY conv_id, turn_idx""".stripMargin,
 
       // Raw change rows in the middle half of the event-time span.

@@ -50,8 +50,12 @@ final class GraftLakeMicroBatchStream(spark: SparkSession, path: String,
     with SupportsTriggerAvailableNow {
 
   private val table = LakeTable.open(spark, path)
-  // pinnedSchema = fileSchema ++ _commit_version; files carry fileSchema
-  private val fileSchema = StructType(pinnedSchema.fields.dropRight(1))
+  // pinnedSchema = (possibly `select`-narrowed) change columns; the files
+  // carry everything but the virtual _commit_version, which — when selected
+  // at all — is appended by the reader wrapper as a partition constant.
+  private val withVersion = pinnedSchema.fieldNames.contains("_commit_version")
+  private val fileSchema =
+    StructType(pinnedSchema.fields.filterNot(_.name == "_commit_version"))
 
   private def versionOf(o: Offset): Long = o match {
     case GraftVersionOffset(v) => v
@@ -117,7 +121,7 @@ final class GraftLakeMicroBatchStream(spark: SparkSession, path: String,
   override def createReaderFactory(): PartitionReaderFactory =
     // identical per batch (same schema/conf; only the file lists differ,
     // and those live in the partitions)
-    GraftVersionedReaderFactory(delegateFactory)
+    GraftVersionedReaderFactory(delegateFactory, withVersion)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -135,7 +139,8 @@ final case class GraftVersionedPartition(inner: InputPartition, version: Long)
   * steady-state analytics scans (the 100 TB path) stay columnar through
   * the batch connector.
   */
-final case class GraftVersionedReaderFactory(inner: PartitionReaderFactory)
+final case class GraftVersionedReaderFactory(inner: PartitionReaderFactory,
+                                             withVersion: Boolean)
     extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean = false
@@ -143,12 +148,15 @@ final case class GraftVersionedReaderFactory(inner: PartitionReaderFactory)
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val vp = partition.asInstanceOf[GraftVersionedPartition]
     val delegate = inner.createReader(vp.inner)
-    val vRow = InternalRow(vp.version)
-    new PartitionReader[InternalRow] {
-      private val joined = new JoinedRow
-      override def next(): Boolean = delegate.next()
-      override def get(): InternalRow = joined(delegate.get(), vRow)
-      override def close(): Unit = delegate.close()
+    if (!withVersion) delegate // projection dropped the virtual column
+    else {
+      val vRow = InternalRow(vp.version)
+      new PartitionReader[InternalRow] {
+        private val joined = new JoinedRow
+        override def next(): Boolean = delegate.next()
+        override def get(): InternalRow = joined(delegate.get(), vRow)
+        override def close(): Unit = delegate.close()
+      }
     }
   }
 }

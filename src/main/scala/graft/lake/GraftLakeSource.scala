@@ -37,6 +37,18 @@ final class GraftLakeSource extends RelationProvider with DataSourceRegister
     with CreatableRelationProvider with TableProvider {
   override def shortName(): String = "graftlake"
 
+  // STREAMING READS REQUIRE `startingVersion` (documented break vs the
+  // retired v1 source, which defaulted it to 0): a graftlake stream IS the
+  // table's CHANGE FEED, whose schema (op, payload, _lsn, _commit_version)
+  // differs from the batch table's, and one Table instance cannot honestly
+  // advertise both schemas — so MICRO_BATCH_READ is only published in
+  // change-feed mode. A `readStream` without the option fails at analysis
+  // with Spark's "does not support streamed reading" naming this format.
+  // Implementing the v1 StreamSourceProvider hook to prettify that message
+  // is NOT an option: Spark's ResolveDataSource prefers it over the
+  // TableProvider branch for EVERY streaming load, which would steal the
+  // working change-feed path too (verified against 4.1's resolution order).
+
   private def pathOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path",
       throw new IllegalArgumentException("graftlake requires a 'path' option"))
@@ -87,7 +99,13 @@ final class GraftLakeSource extends RelationProvider with DataSourceRegister
       .orElse(Option(options.get("asOfTimestamp")).map(ts =>
         LakeTable.open(SparkSession.active, path).versionAsOfTimestamp(ts.toLong)))
     new GraftLakeV2Table(SparkSession.active, path, asOf, changesSince,
-      Option(options.get("maxVersionsPerTrigger")).map(_.toLong))
+      Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
+      // change-feed projection: Spark never column-prunes STREAMING v2
+      // relations (V2ScanRelationPushDown skips them), so a consumer
+      // selecting 2 of 40 payload columns would read all 40 — the `select`
+      // option narrows the feed's schema at the source instead.
+      Option(options.get("select"))
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq))
   }
 }
 

@@ -86,9 +86,29 @@ private[lake] object FilterToColumn {
 final class GraftLakeV2Table(spark: SparkSession, path: String,
                              asOfVersion: Option[Long],
                              changesSince: Option[Long],
-                             maxVersionsPerTrigger: Option[Long] = None)
+                             maxVersionsPerTrigger: Option[Long] = None,
+                             /** change-feed column projection (the `select`
+                               * option): streaming relations see no Catalyst
+                               * column pruning, so the narrowing happens in
+                               * the declared feed schema itself. */
+                             selectCols: Option[Seq[String]] = None)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  /** SQL `MERGE INTO` / `UPDATE` / subquery-`DELETE` (delta-based row-level
+    * operations — [[GraftRowLevelOperation]]). Predicate-only DELETEs still
+    * take the cheaper metadata path: Spark's
+    * OptimizeMetadataOnlyDeleteFromTable converts back to [[deleteWhere]]
+    * whenever [[canDeleteWhere]] accepts the filters.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(asOfVersion.isEmpty && changesSince.isEmpty,
+      "cannot MERGE/UPDATE/DELETE through a time-travel or change-feed relation")
+    () => new GraftRowLevelOperation(spark, path, info.command())
+  }
 
   /** SQL `DELETE FROM t WHERE …` — a tombstone MERGE of the matching live
     * rows (fresh lsn above all prior state), O(matched keys), never a
@@ -117,17 +137,32 @@ final class GraftLakeV2Table(spark: SparkSession, path: String,
   // Schema pins the TARGET snapshot at table resolution (lazy val: one
   // resolution per Table instance, however often Spark asks): time travel
   // across additive evolution must expose the older, narrower schema.
+  // The merge keys are declared NON-NULL (they are the row id, and the
+  // engine's bucket router admits no null key) — which is also what Spark's
+  // row-level-operation analysis requires of rowId attributes.
   private lazy val resolvedSchema: StructType = {
     val t = LakeTable.open(spark, path)
     (asOfVersion, changesSince) match {
-      case (Some(v), _) => t.snapshotAt(v).schema
+      case (Some(v), _) => GraftLakeV2Table.keysNonNull(t.snapshotAt(v).schema)
       case (_, Some(_)) =>
         val snap = t.currentSnapshot.getOrElse(throw new IllegalArgumentException(
           s"cannot read/stream changes of $path: no snapshot yet (create " +
             "the table or merge once first — the feed's schema is the table's)"))
-        StructType(t.fileSchemaOf(snap.schema).fields :+
+        val full = StructType(t.fileSchemaOf(snap.schema).fields :+
           StructField("_commit_version", LongType))
-      case _ => t.currentSnapshot.map(_.schema).getOrElse(StructType(Nil))
+        selectCols match {
+          case None => full
+          case Some(cols) =>
+            val missing = cols.filterNot(full.fieldNames.contains)
+            require(missing.isEmpty,
+              s"select option names column(s) ${missing.mkString(", ")} not in " +
+                s"the change feed of $path (${full.fieldNames.mkString(", ")})")
+            // projection is a SET (file-schema order kept): the parquet
+            // readers then materialize only these columns per batch
+            StructType(full.fields.filter(f => cols.contains(f.name)))
+        }
+      case _ => t.currentSnapshot.map(s => GraftLakeV2Table.keysNonNull(s.schema))
+        .getOrElse(StructType(Nil))
     }
   }
 
@@ -156,6 +191,13 @@ final class GraftLakeV2Table(spark: SparkSession, path: String,
     if (changesSince.isDefined)
       java.util.EnumSet.of(TableCapability.BATCH_READ,
         TableCapability.MICRO_BATCH_READ, TableCapability.V1_BATCH_WRITE)
+    else if (asOfVersion.isEmpty && LakeTable.existsAt(path))
+      // STREAMING_WRITE only for an EXISTING table: the sink appends epochs
+      // to a declared schema — creating tables is the batch/DDL surface's
+      // job, and advertising the capability on a fresh path would defer the
+      // failure from analysis to mid-stream.
+      java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.V1_BATCH_WRITE, TableCapability.STREAMING_WRITE)
     else
       java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
 
@@ -180,9 +222,24 @@ final class GraftLakeV2Table(spark: SparkSession, path: String,
               LakeTable.open(spark, path).appendAsUpserts(data)
             }
           }
+        /** `writeStream.format("graftlake")`: every micro-batch is one
+          * idempotent merge epoch, written executor-side
+          * ([[GraftStreamingWrite]]).
+          */
+        override def toStreaming
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          new GraftStreamingWrite(LakeTable.open(spark, path), info)
       }
     }
   }
+}
+
+object GraftLakeV2Table {
+  /** Merge-key columns declared non-nullable (the rowId contract). */
+  private[lake] def keysNonNull(schema: StructType): StructType =
+    StructType(schema.fields.map(f =>
+      if (f.name == "conv_id" || f.name == "turn_idx") f.copy(nullable = false)
+      else f))
 }
 
 final class GraftLakeScanBuilder(spark: SparkSession, path: String,

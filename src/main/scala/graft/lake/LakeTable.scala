@@ -119,10 +119,19 @@ final class LakeTable(val spark: SparkSession, val path: String,
     */
   private def forWrite(df: DataFrame): DataFrame = {
     val target = writeSession.conf
-    spark.conf.getAll.foreach { case (k, v) =>
+    val userConf = spark.conf.getAll
+    userConf.foreach { case (k, v) =>
       if (k != "spark.sql.parquet.outputTimestampType" &&
           spark.conf.isModifiable(k) && !target.getOption(k).contains(v))
         target.set(k, v)
+    }
+    // Mirror UNSETS too: a key the user cleared (reverting to default) must
+    // not keep its stale explicit value in the clone, or lake writes would
+    // run forever under a setting the user no longer has.
+    target.getAll.keys.foreach { k =>
+      if (k != "spark.sql.parquet.outputTimestampType" &&
+          !userConf.contains(k) && target.isModifiable(k))
+        target.unset(k)
     }
     org.apache.spark.sql.graftbridge.reroot(df, writeSession)
   }
@@ -166,7 +175,13 @@ final class LakeTable(val spark: SparkSession, val path: String,
                               * must prove every file carries the FULL
                               * current schema first. None = unknown
                               * (legacy stats; never trusted as complete). */
-                            nCols: Option[Int] = None)
+                            nCols: Option[Int] = None,
+                            /** File length in bytes (commit-time metadata):
+                              * lets read-side file indexes skip per-file
+                              * stat calls — on an object store that is one
+                              * round-trip per file per query. None = legacy
+                              * stats (stat on demand). */
+                            bytes: Option[Long] = None)
 
   final case class Snapshot(
       version: Long,
@@ -253,7 +268,8 @@ final class LakeTable(val spark: SparkSession, val path: String,
         n.get("minLsn").asLong, n.get("maxLsn").asLong,
         Option(n.get("minTs")).map(_.asLong), Option(n.get("maxTs")).map(_.asLong),
         Option(n.get("noTombs")).exists(_.asBoolean),
-        Option(n.get("nCols")).map(_.asInt))
+        Option(n.get("nCols")).map(_.asInt),
+        Option(n.get("bytes")).map(_.asLong))
     }.toMap
 
   /** Per-instance parsed-snapshot cache. A published snapshot file is
@@ -346,6 +362,7 @@ final class LakeTable(val spark: SparkSession, val path: String,
     st.minTs.foreach(o.put("minTs", _)); st.maxTs.foreach(o.put("maxTs", _))
     if (st.noTombs) o.put("noTombs", true)
     st.nCols.foreach(n => o.put("nCols", n))
+    st.bytes.foreach(o.put("bytes", _))
   }
 
   private[graft] def writeSnapshot(s: Snapshot): Unit = {
@@ -453,32 +470,77 @@ final class LakeTable(val spark: SparkSession, val path: String,
     readState(readSnapshot(version)).where(col("op") =!= "D").drop("op", "_lsn")
   }
 
+  /** Per-instance (version → commitTimeMs) cache backing `TIMESTAMP AS OF`
+    * resolution. A published snapshot's commit time is immutable, but the
+    * PATH is not its identity (drop-and-recreate reuses v0000000001.json),
+    * so entries key on the file's attributes like [[snapCache]]. Unbounded
+    * is fine: 16 bytes per retained version.
+    */
+  private val commitTimeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+  /** Flat-JSON parses performed by timestamp resolution — observable so a
+    * test can pin the O(log V) bound. */
+  private[graft] var commitTimeParses: Long = 0L
+
+  private def commitTimeOf(v: Long): Long = {
+    val key =
+      try {
+        val a = Files.readAttributes(snapPath(v),
+          classOf[java.nio.file.attribute.BasicFileAttributes])
+        s"$v:${a.fileKey}:${a.lastModifiedTime.toMillis}:${a.size}"
+      } catch { case _: java.io.IOException => null }
+    if (key == null) return parseCommitTime(v)
+    val cached = commitTimeCache.get(key)
+    if (cached != 0L || commitTimeCache.containsKey(key)) cached
+    else {
+      val t = parseCommitTime(v)
+      commitTimeCache.put(key, t)
+      t
+    }
+  }
+
+  private def parseCommitTime(v: Long): Long = {
+    commitTimeParses += 1
+    val root = mapper.readTree(Files.readString(snapPath(v)))
+    Option(root.get("commitTimeMs")).map(_.asLong).getOrElse(0L)
+  }
+
   /** Resolve `TIMESTAMP AS OF`: the latest RETAINED snapshot whose
     * wall-clock commit time is ≤ `tsMillis`. Flat-JSON reads only (no
-    * manifest reconstruction). Loud when nothing retained qualifies —
-    * either the time predates the retained history (vacuumed) or targets a
-    * legacy snapshot without a recorded commit time; silently serving a
-    * different version would lie.
+    * manifest reconstruction), and only O(log V) of them: commit times are
+    * written MONOTONE in version ([[nextCommitTimeMs]]; legacy snapshots
+    * without one read as 0, which sorts below every real time), so a
+    * binary search over the sorted version listing finds the boundary —
+    * resolution cost is independent of retained-history length. Loud when
+    * nothing retained qualifies — either the time predates the retained
+    * history (vacuumed) or targets a legacy snapshot without a recorded
+    * commit time; silently serving a different version would lie.
     */
   def versionAsOfTimestamp(tsMillis: Long): Long = {
     require(Files.isDirectory(snapDir),
       s"no graftlake table at $path — nothing to time-travel into")
-    val candidates = listDir(snapDir)
+    val versions = listDir(snapDir)
       .filter(n => n.startsWith("v") && n.endsWith(".json"))
-      .map(n => n.substring(1, n.length - 5).toLong).sorted
-      .map { v =>
-        val root = mapper.readTree(Files.readString(snapPath(v)))
-        v -> Option(root.get("commitTimeMs")).map(_.asLong).getOrElse(0L)
-      }
-    candidates.filter { case (_, t) => t > 0L && t <= tsMillis } match {
-      case Seq() => throw new IllegalArgumentException(
-        s"no retained snapshot at $path committed at or before " +
-          s"timestamp $tsMillis (earliest retained: " +
-          s"${candidates.collectFirst { case (v, t) if t > 0 => s"v$v@$t" }
-            .getOrElse("none with a commit time")}) — " +
-          "history vacuumed, or the table predates commit-time recording")
-      case hits => hits.last._1
+      .map(n => n.substring(1, n.length - 5).toLong).sorted.toIndexedSeq
+    // rightmost version with 0 < commitTime <= tsMillis
+    var lo = 0
+    var hi = versions.length - 1
+    var hit = -1L
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val t = commitTimeOf(versions(mid))
+      if (t > 0L && t <= tsMillis) { hit = versions(mid); lo = mid + 1 }
+      else if (t > tsMillis) hi = mid - 1
+      else lo = mid + 1 // legacy t=0 sorts below every real time: go right
     }
+    if (hit < 0L) throw new IllegalArgumentException(
+      s"no retained snapshot at $path committed at or before " +
+        s"timestamp $tsMillis (earliest retained: " +
+        s"${versions.iterator.map(v => v -> commitTimeOf(v))
+          .collectFirst { case (v, t) if t > 0 => s"v$v@$t" }
+          .getOrElse("none with a commit time")}) — " +
+        "history vacuumed, or the table predates commit-time recording")
+    hit
   }
 
   /** Live state as of the last commit at/before wall-clock `tsMillis`. */
@@ -593,14 +655,16 @@ final class LakeTable(val spark: SparkSession, val path: String,
         s"changesInRange needs a 'ts' column; table at $path has none")
       val schema = fileSchema(cur.schema)
       val hi = math.min(cur.version, untilVersion.getOrElse(cur.version))
-      // Driver-side metadata walk: one snapshot JSON per commit. The PLAN is
+      // Driver-side metadata walk: one sidecar JSON per commit. The PLAN is
       // a single parquet scan over the union of every commit's change files —
       // a consumer catching up over 10^4 commits costs 10^4 manifest reads
       // (metadata), never a 10^4-arm union plan (the analyzer blowup the
       // per-commit-scan shape hit at depth).
-      val newFiles = ((sinceVersion + 1) to hi).flatMap { w =>
+      val statsAcc = scala.collection.mutable.Map.empty[String, FileStat]
+      val byVersion: Seq[(Long, Seq[String])] = ((sinceVersion + 1) to hi).map { w =>
         val (files, stats) = changeFilesWithStats(w)
-        tsRange match {
+        statsAcc ++= stats
+        w -> (tsRange match {
           case None => files
           case Some((lo, hi)) => files.filter { f =>
             stats.get(f) match {
@@ -608,17 +672,27 @@ final class LakeTable(val spark: SparkSession, val path: String,
               case None     => true // no stats ⇒ never skip
             }
           }
-        }
-      }
+        })
+      }.filter(_._2.nonEmpty)
       val out =
-        if (newFiles.isEmpty)
+        if (byVersion.isEmpty)
           spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             StructType(schema.fields :+ StructField("_commit_version", LongType)))
-        else
-          // ONE scan; the commit version is recovered from the file path
-          // (delta dirs encode their target version: data/e<ver>-<nonce>/…).
-          scanFiles(newFiles, schema).withColumn("_commit_version",
-            regexp_extract(input_file_name(), "/data/e(\\d+)-", 1).cast("long"))
+        else {
+          // ONE parquet relation; `_commit_version` is a PARTITION column of
+          // an explicit-listing file index (a per-file constant attached by
+          // the scan — no per-row path parsing), and version predicates
+          // partition-prune whole commits out of the file list.
+          val index = new VersionedChangeFileIndex(spark, path, byVersion,
+            rel => statsAcc.get(rel).flatMap(_.bytes))
+          val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+            index, index.partitionSchema, schema, None,
+            new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
+            Map.empty[String, String])(
+            spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+          org.apache.spark.sql.graftbridge.ofRows(spark,
+            org.apache.spark.sql.execution.datasources.LogicalRelation(relation))
+        }
       tsRange.fold(out) { case (lo, hi) =>
         out.where(col("ts").isNotNull &&
           unix_micros(col("ts")).between(lo, hi))
@@ -668,11 +742,7 @@ final class LakeTable(val spark: SparkSession, val path: String,
     val fa = node.putArray("files"); files.foreach(fa.add)
     val sn = node.putObject("stats")
     files.flatMap(f => stats.get(f).map(f -> _)).foreach { case (f, st) =>
-      val o = sn.putObject(f)
-      o.put("minLsn", st.minLsn); o.put("maxLsn", st.maxLsn)
-      st.minTs.foreach(o.put("minTs", _)); st.maxTs.foreach(o.put("maxTs", _))
-      if (st.noTombs) o.put("noTombs", true)
-      st.nCols.foreach(n => o.put("nCols", n))
+      putStat(sn.putObject(f), st)
     }
     // plain write is fine: only the CAS winner for `version` calls this
     Files.createDirectories(changesDir)
@@ -683,15 +753,7 @@ final class LakeTable(val spark: SparkSession, val path: String,
     if (!Files.exists(changePath(v))) return None
     val node = mapper.readTree(Files.readString(changePath(v)))
     val files = node.get("files").elements().asScala.map(_.asText).toSeq
-    val stats = node.get("stats").fields().asScala.map { e =>
-      val n = e.getValue
-      e.getKey -> FileStat(
-        n.get("minLsn").asLong, n.get("maxLsn").asLong,
-        Option(n.get("minTs")).map(_.asLong), Option(n.get("maxTs")).map(_.asLong),
-        Option(n.get("noTombs")).exists(_.asBoolean),
-        Option(n.get("nCols")).map(_.asInt))
-    }.toMap
-    Some((files, stats))
+    Some((files, parseStats(node.get("stats"))))
   }
 
   // ---- per-commit BUCKET MANIFESTS (the snapshot's file inventory) ----------
@@ -829,7 +891,7 @@ final class LakeTable(val spark: SparkSession, val path: String,
             val ts = colRange("ts")
             val nCols = r.getFooter.getFileMetaData.getSchema.getFieldCount
             rel -> FileStat(lmin, lmax, ts.map(_._1), ts.map(_._2), noTombs,
-              Some(nCols))
+              Some(nCols), Some(in.getLength))
           }
         }
       } catch { case _: Exception => None }
@@ -920,11 +982,25 @@ final class LakeTable(val spark: SparkSession, val path: String,
         // byte-identical rows, so any winner is the same row). Partitioned
         // by key — the numbering shuffle distributes, never a single-task
         // global window.
-        val orderCols = batch.schema.fields.toSeq
+        //
+        // DETERMINISM CONTRACT: the same-key winner is deterministic over
+        // the ORDERABLE projection of the payload. Two same-key rows
+        // distinguishable ONLY by a non-orderable column (map, or a struct
+        // containing one) would tie nondeterministically — rejected loudly
+        // below when NO payload column is orderable (the fully undefined
+        // case); a mixed schema where orderable columns tie is documented
+        // as arbitrary-but-single-winner.
+        val payloadFields = batch.schema.fields.toSeq
           .filterNot(f => keyCols.contains(f.name) || f.name == "op")
+        val orderCols = payloadFields
           .filter(f => org.apache.spark.sql.catalyst.expressions.RowOrdering
             .isOrderable(f.dataType))
           .map(f => col(f.name).asc_nulls_first)
+        require(orderCols.nonEmpty || payloadFields.isEmpty,
+          s"appendAsUpserts at $path: no payload column of " +
+            s"(${payloadFields.map(_.name).mkString(", ")}) is orderable, so " +
+            "same-key rows in one batch would resolve to a nondeterministic " +
+            "winner — supply an explicit 'lsn' column to order them")
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(keyCols.map(col): _*)
           .orderBy((if (orderCols.isEmpty) Seq(lit(1).asc) else orderCols): _*)
@@ -1001,24 +1077,33 @@ final class LakeTable(val spark: SparkSession, val path: String,
       if (prev.isEmpty) return 0L
       val epochId = prev.flatMap(_.committedEpochs.get(ns)).getOrElse(-1L) + 1
       val lsn = prev.flatMap(_.metrics.get("max_lsn")).getOrElse(0L) + 1
+      // SINGLE-PASS: the arbitrated match plan executes once. Persisting the
+      // doomed key set lets the emptiness check (skip a no-op commit) and
+      // the merge's delta write share one execution of the match lineage —
+      // the naive isEmpty-then-merge shape re-runs the whole arbitration,
+      // 2× the match cost per DELETE on a large matched set. The key set is
+      // O(matched keys), the small thing by construction.
       val doomed = readState(prev.get).where(col("op") =!= "D").drop("op", "_lsn")
         .where(cond).select(keyCols.map(col): _*)
-      if (doomed.isEmpty) return 0L
-      val batch = doomed
-        .withColumn("op", lit("D"))
-        .withColumn("lsn", lit(lsn))
-        .withColumn("commit_ts",
-          timestamp_micros(lit(System.currentTimeMillis() * 1000L)))
-      val merged =
-        try Some(merge(batch, ns, epochId))
-        catch { case _: CommitConflictException => None }
-      merged match {
-        case Some(r) if r.applied => return r.deletes
-        case _ => // lost the CAS or a racer burned the id — re-read, retry
-          attempt += 1
-          if (attempt > maxRetries) throw new CommitConflictException(
-            s"deleteWhere at $path lost the commit race $attempt times")
-      }
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        if (doomed.isEmpty) return 0L
+        val batch = doomed
+          .withColumn("op", lit("D"))
+          .withColumn("lsn", lit(lsn))
+          .withColumn("commit_ts",
+            timestamp_micros(lit(System.currentTimeMillis() * 1000L)))
+        val merged =
+          try Some(merge(batch, ns, epochId))
+          catch { case _: CommitConflictException => None }
+        merged match {
+          case Some(r) if r.applied => return r.deletes
+          case _ => // lost the CAS or a racer burned the id — re-read, retry
+            attempt += 1
+            if (attempt > maxRetries) throw new CommitConflictException(
+              s"deleteWhere at $path lost the commit race $attempt times")
+        }
+      } finally doomed.unpersist(blocking = false)
     }
     throw new IllegalStateException("unreachable")
   }
@@ -1062,7 +1147,6 @@ final class LakeTable(val spark: SparkSession, val path: String,
     }
 
     val version = prev.map(_.version + 1).getOrElse(1L)
-    val carried: Map[Int, BucketState] = prev.map(_.buckets).getOrElse(Map.empty)
     // Nonce in the data dir: two writers racing to the same version must not
     // share a delta directory either — the snapshot CAS picks the winner, and
     // the loser's files sit in their own dir as unreferenced orphans (vacuum
@@ -1096,6 +1180,26 @@ final class LakeTable(val spark: SparkSession, val path: String,
     val batchMaxLsn = stats.get("ml").flatMap(Option(_)).map(_.asInstanceOf[Long]).getOrElse(0L)
 
     val newFiles = listBucketFiles(rel, 0 until numBuckets)
+    commitFiles(prev, epochNs, epochId, unified, newFiles,
+      events, deletes, batchHigh, batchMaxLsn)
+  }
+
+  /** METADATA half of a commit, shared by [[merge]] (which just ran the
+    * delta-write job) and the DSv2 row-level/streaming writers (whose
+    * executor tasks already wrote the files): fold the new per-bucket delta
+    * files into the previous snapshot, inline-compact over-deltaed buckets,
+    * record footer stats, write the O(changed) manifest + sidecar, and
+    * CAS-publish at `prev.version + 1`. Throws [[CommitConflictException]]
+    * when a concurrent writer won that version — the caller decides whether
+    * to retry (merge semantics) or abort (pinned-lsn row-level semantics).
+    */
+  private[lake] def commitFiles(prev: Option[Snapshot], epochNs: String,
+                                epochId: Long, unified: StructType,
+                                newFiles: Map[Int, Seq[String]],
+                                events: Long, deletes: Long,
+                                batchHigh: Long, batchMaxLsn: Long): MergeResult = {
+    val version = prev.map(_.version + 1).getOrElse(1L)
+    val carried: Map[Int, BucketState] = prev.map(_.buckets).getOrElse(Map.empty)
     val touched = newFiles.filter(_._2.nonEmpty).keys.toSeq
     val withDeltas: Map[Int, BucketState] =
       touched.foldLeft(carried) { (acc, b) =>
@@ -1152,7 +1256,7 @@ final class LakeTable(val spark: SparkSession, val path: String,
         changeFiles = Some(newDeltaFiles),
         fileStats = fileStats,
         manifestList = manifestList,
-        commitTimeMs = System.currentTimeMillis()
+        commitTimeMs = nextCommitTimeMs(prev)
       )
       writeSnapshot(snapshot)
       // CAS winner only (writeSnapshot would have thrown otherwise):
@@ -1165,6 +1269,68 @@ final class LakeTable(val spark: SparkSession, val path: String,
 
   private def nonce(): String =
     java.util.UUID.randomUUID().toString.take(8)
+
+  /** Fresh epoch-dir name targeting `version` (row-level/streaming writers
+    * stage their executor-written files here before the metadata commit).
+    */
+  private[lake] def newEpochDir(version: Long): String =
+    f"data/e$version%010d-${nonce()}"
+
+  /** Parquet [[org.apache.spark.sql.execution.datasources.OutputWriterFactory]]
+    * + the prepared hadoop conf for EXECUTOR-SIDE writes of `schema` — the
+    * same writer Spark's own file sink uses, prepared under the lake's
+    * scoped write session so the TIMESTAMP_MICROS pin (and its column
+    * statistics) hold for rows that never pass through a driver-planned
+    * write job.
+    */
+  private[lake] def executorWriterFactory(schema: StructType)
+      : (org.apache.spark.sql.execution.datasources.OutputWriterFactory,
+         org.apache.hadoop.conf.Configuration) = {
+    val ws = LakeTable.microsWriteSession(spark)
+    val job = org.apache.hadoop.mapreduce.Job.getInstance(
+      ws.sessionState.newHadoopConf())
+    val factory =
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
+        .prepareWrite(ws, job, Map("compression" -> compression), schema)
+    (factory, job.getConfiguration)
+  }
+
+  /** Commit ALREADY-WRITTEN per-bucket files under SERIALIZABLE isolation:
+    * CAS at exactly `pinned.version + 1`. Any commit that interleaved since
+    * the operation pinned its snapshot fails the CAS and ABORTS the whole
+    * operation (the staged files become unreferenced orphans — vacuum
+    * reclaims them): the rows' lsns were allocated against the pinned
+    * snapshot's max_lsn, so retrying against a moved table could tie with
+    * or silently lose to the interleaved writer's rows. This is the
+    * optimistic-concurrency contract every reference lakehouse applies to
+    * row-level SQL (MERGE/UPDATE): conflicts surface, the user re-runs.
+    */
+  private[graft] def commitPinned(pinned: Snapshot, epochNs: String,
+                                 bucketFiles: Map[Int, Seq[String]],
+                                 events: Long, deletes: Long,
+                                 batchHigh: Long, batchMaxLsn: Long): MergeResult = {
+    checkBuckets(pinned)
+    val epochId = pinned.committedEpochs.getOrElse(epochNs, -1L) + 1
+    try commitFiles(Some(pinned), epochNs, epochId, pinned.schema, bucketFiles,
+      events, deletes, batchHigh, batchMaxLsn)
+    catch {
+      case e: CommitConflictException => throw new CommitConflictException(
+        s"row-level $epochNs at $path aborted: a concurrent writer committed " +
+          s"version ${pinned.version + 1} after this operation pinned " +
+          s"v${pinned.version} (${e.getMessage}) — re-run the statement " +
+          "against the new table state")
+    }
+  }
+
+  /** Commit timestamps are forced MONOTONE across versions: with multiple
+    * writers and clock skew, raw wall clocks can regress, and `TIMESTAMP AS
+    * OF` (highest version with time ≤ ts) would then resolve a state that
+    * skips an earlier-stamped LATER version. max(now, prev+1) keeps the
+    * (version, commitTime) order aligned — the rule every reference
+    * lakehouse applies.
+    */
+  private def nextCommitTimeMs(prev: Option[Snapshot]): Long =
+    math.max(System.currentTimeMillis(), prev.map(_.commitTimeMs + 1).getOrElse(0L))
 
   /** Distinct delta epochs in a bucket (file path = data/e<ver>-<nonce>/b=<b>/…). */
   private def deltaEpochCount(st: BucketState): Int =
@@ -1323,7 +1489,7 @@ final class LakeTable(val spark: SparkSession, val path: String,
         writeSnapshot(s.copy(version = version, buckets = finalBuckets,
           changeFiles = Some(Nil), // maintenance rewrite: no new changes
           fileStats = fileStats, manifestList = manifestList,
-          commitTimeMs = System.currentTimeMillis()))
+          commitTimeMs = nextCommitTimeMs(Some(s))))
         writeChangeManifest(version, Nil, Map.empty)
       }
     }
@@ -1556,28 +1722,49 @@ object LakeTable {
     * CAS write differently-named orphans), so a path is a safe cache key —
     * snapshot resolution then costs O(manifestList) cache hits instead of
     * re-parsing the table's whole file inventory on every commit and read.
+    *
+    * Bounded by approximate BYTES, not entry count: merged manifests are
+    * O(table file inventory), so 256 of them on a driver serving many large
+    * tables would pin GBs of heap. Each entry is charged its serialized
+    * JSON length (a sound proxy for the parsed tree); eviction keeps the
+    * total under [[manifestCacheBudget]]. A manifest larger than the whole
+    * budget is parsed but never retained.
     */
+  private val manifestCacheBudget: Long =
+    sys.env.get("GRAFT_MANIFEST_CACHE_MB").flatMap(_.toLongOption)
+      .getOrElse(64L) * 1024L * 1024L
+
+  private var manifestCacheBytes: Long = 0L
   private val manifestCache =
-    new java.util.LinkedHashMap[String, com.fasterxml.jackson.databind.JsonNode](
-        64, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, com.fasterxml.jackson.databind.JsonNode]): Boolean =
-        size() > 256
-    }
+    new java.util.LinkedHashMap[String, (com.fasterxml.jackson.databind.JsonNode, Long)](
+        64, 0.75f, true)
+
+  private[graft] def manifestCacheStats: (Int, Long) =
+    manifestCache.synchronized((manifestCache.size(), manifestCacheBytes))
 
   private[lake] def manifestNode(mapper: ObjectMapper,
                                  absPath: String): com.fasterxml.jackson.databind.JsonNode =
     manifestCache.synchronized {
       val cached = manifestCache.get(absPath)
-      if (cached != null) cached
+      if (cached != null) cached._1
       else {
-        val n = mapper.readTree(Files.readString(Paths.get(absPath)))
-        manifestCache.put(absPath, n)
+        val text = Files.readString(Paths.get(absPath))
+        val n = mapper.readTree(text)
+        val cost = text.length.toLong
+        if (cost <= manifestCacheBudget) {
+          manifestCache.put(absPath, (n, cost))
+          manifestCacheBytes += cost
+          val it = manifestCache.entrySet().iterator()
+          while (manifestCacheBytes > manifestCacheBudget && it.hasNext) {
+            manifestCacheBytes -= it.next().getValue._2
+            it.remove()
+          }
+        }
         n
       }
     }
 
-  private[lake] def microsWriteSession(spark: SparkSession): SparkSession =
+  private[graft] def microsWriteSession(spark: SparkSession): SparkSession =
     microsSessions.synchronized {
       var s = microsSessions.get(spark)
       if (s == null) {

@@ -62,6 +62,21 @@ object DsvProbe {
     }
     timeCount("count-dsv2")(spark.read.format("graftlake").load(t.path))
     timeCount("count-v1")(spark.table("v1lake"))
+
+    // DIRTY-TABLE phase (VERDICT-r5 #4): price the row-mode V1Scan bridge
+    // on a table where EVERY bucket carries deltas — the worst case between
+    // ingest and compaction. `engine-dirty` is the arbitration plan run
+    // directly; `dsv2-dirty` is the same plan behind the DSv2 V1Scan bridge,
+    // so (dsv2-dirty − engine-dirty) isolates the bridge's Row-boundary +
+    // lost-codegen-fusion cost from the inherent merge-on-read window.
+    val updFrac = sys.env.getOrElse("PROBE_DIRTY_FRAC", "50").toLong // 1/50 = 2%
+    t.merge(TranscriptWal.synthetic(spark, nEvents / updFrac, 50000,
+      lsnOffset = 10L * nEvents), "p", 2)
+    val dirty = t.currentSnapshot.get.buckets.count(_._2.deltas.nonEmpty)
+    println(s"dirty buckets: $dirty / 32 (update fraction 1/$updFrac)")
+    time("engine-dirty")(t.read())
+    time("dsv2-dirty")(spark.read.format("graftlake").load(t.path))
+    time("v1-dirty")(spark.table("v1lake"))
     spark.stop()
   }
 }

@@ -26,4 +26,13 @@ package object graftbridge {
   def reroot(df: DataFrame, to: SparkSession): DataFrame =
     classic.Dataset.ofRows(to.asInstanceOf[classic.SparkSession],
       df.queryExecution.analyzed)
+
+  /** DataFrame over a hand-built [[catalyst.plans.logical.LogicalPlan]] —
+    * the entry point a library-level relation (e.g. a custom FileIndex
+    * wrapped in a HadoopFsRelation) needs, made `private[sql]` by the
+    * Connect refactor.
+    */
+  def ofRows(spark: SparkSession,
+             plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

@@ -1026,4 +1026,124 @@ class LakeTableSpec extends AnyFunSuite {
     val baseFiles = s.buckets.values.flatMap(_.base)
     assert(baseFiles.nonEmpty && baseFiles.forall(f => s.fileStats(f).noTombs))
   }
+
+  test("change feed: _commit_version is a partition column, not a path parse") {
+    val t = freshTable(buckets = 4)
+    (1 to 4).foreach { i =>
+      t.merge(TranscriptWal.synthetic(spark, 60, 4, seed = i.toLong,
+        lsnOffset = i * 100000L), "t", i)
+    }
+    val feed = t.changesSince(0)
+    // no per-row path work anywhere in the plan
+    val planStr = feed.queryExecution.executedPlan.toString
+    assert(!planStr.contains("input_file_name"),
+      s"feed plan must not parse file paths per row:\n$planStr")
+    // a version predicate becomes a PARTITION filter and prunes whole
+    // commits out of the file list before the scan plans
+    val one = t.changesSince(0).where($"_commit_version" === 2)
+    val scan = one.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.partitionFilters.nonEmpty, "version predicate must partition-prune")
+    val allFiles = feed.inputFiles.length
+    val prunedFiles = scan.selectedPartitions.totalNumberOfFiles
+    assert(prunedFiles > 0 && prunedFiles < allFiles,
+      s"expected pruned file list, got $prunedFiles of $allFiles")
+    assert(one.select("_lsn").collect().map(_.getLong(0))
+      .forall(l => l >= 200000L && l < 300000L))
+  }
+
+  test("TIMESTAMP AS OF resolves in O(log V) flat-JSON parses") {
+    val t = freshTable(buckets = 2)
+    val n = 48
+    (1 to n).foreach { i =>
+      t.merge(TranscriptWal.synthetic(spark, 6, 2, lsnOffset = i * 1000L), "t", i)
+    }
+    // commit times are forced monotone even when the wall clock stalls
+    val times = (1L to n.toLong).map(v => t.snapshotAt(v).commitTimeMs)
+    assert(times.sliding(2).forall(p => p(0) < p(1)),
+      "commitTimeMs must be strictly increasing across versions")
+    // a FRESH instance (cold caches) pays O(log V) parses, not O(V)
+    val t2 = LakeTable.open(spark, t.path)
+    val target = times(29) // resolve into the middle of the history
+    val before = t2.commitTimeParses
+    assert(t2.versionAsOfTimestamp(target) == 30L)
+    val parses = t2.commitTimeParses - before
+    assert(parses <= 8, s"expected <= log2($n)+2 parses, got $parses")
+    // warm resolution parses nothing
+    val again = t2.commitTimeParses
+    assert(t2.versionAsOfTimestamp(times(40)) == 41L)
+    assert(t2.commitTimeParses - again <= 8)
+    assert(t2.readAsOfTimestamp(target).count() == t2.readAsOf(30).count())
+  }
+
+  test("deleteWhere executes the match lineage once (bytes-read bound)") {
+    val t = freshTable(buckets = 4)
+    t.merge(TranscriptWal.synthetic(spark, 4000, 8), "t", 1)
+    t.compactAll()
+    def fileBytesRead(): Long = {
+      import scala.jdk.CollectionConverters._
+      org.apache.hadoop.fs.FileSystem.getGlobalStorageStatistics.iterator().asScala
+        .filter(s => s.getScheme == "file")
+        .map(s => Option(s.getLong("bytesRead")).map(_.longValue).getOrElse(0L))
+        .sum
+    }
+    // cost of ONE arbitrated match pass over the table
+    val m0 = fileBytesRead()
+    t.read().where($"turn_idx" >= 2).select("conv_id", "turn_idx").count()
+    val onePass = fileBytesRead() - m0
+    assert(onePass > 0, "storage statistics must be live for this test")
+    val m1 = fileBytesRead()
+    val deleted = t.deleteWhere($"turn_idx" >= 2)
+    val delBytes = fileBytesRead() - m1
+    assert(deleted > 0 && t.read().where($"turn_idx" >= 2).count() == 0)
+    // single-pass: the delete's read cost ~= one match pass (+ the small
+    // tombstone write + commit-time footer reads), never ~2 passes
+    assert(delBytes < (onePass * 1.6).toLong + 1024 * 1024,
+      s"deleteWhere read $delBytes bytes vs $onePass for one pass — " +
+        "the match lineage is executing more than once")
+  }
+
+  test("appendAsUpserts rejects batches with no orderable payload column") {
+    val t = freshTable(buckets = 2)
+    val df = Seq(("c1", 0, Map("a" -> 1)), ("c1", 0, Map("b" -> 2)))
+      .toDF("conv_id", "turn_idx", "attrs")
+    val e = intercept[IllegalArgumentException] { t.appendAsUpserts(df) }
+    assert(e.getMessage.contains("orderable"))
+    // key-only batches (payload-less) still work: rows are identical per key
+    t.appendAsUpserts(Seq(("c1", 0), ("c2", 1)).toDF("conv_id", "turn_idx"))
+    assert(t.read().count() == 2)
+  }
+
+  test("streaming read without startingVersion fails loudly at analysis") {
+    val t = freshTable(buckets = 2)
+    t.merge(TranscriptWal.synthetic(spark, 50, 4), "t", 1)
+    // documented break vs the retired v1 source: the stream IS the change
+    // feed and needs startingVersion; without it the load must fail at
+    // ANALYSIS, naming the format — never return a mis-schemaed stream
+    val e = intercept[Exception] {
+      spark.readStream.format("graftlake").load(t.path)
+    }
+    assert(Option(e.getMessage).exists(_.contains("graftlake")),
+      s"expected a loud analysis error naming the format, got: $e")
+    // and the documented option selects the feed
+    val ok = spark.readStream.format("graftlake")
+      .option("startingVersion", "0").load(t.path)
+    assert(ok.isStreaming && ok.columns.contains("_commit_version"))
+  }
+
+  test("lake writes follow the user session's conf UNSETS, not just sets") {
+    val t = freshTable(buckets = 2)
+    val key = "spark.sql.files.maxRecordsPerFile"
+    spark.conf.set(key, "123456")
+    try {
+      t.merge(TranscriptWal.synthetic(spark, 20, 2), "t", 1)
+      val clone = LakeTable.microsWriteSession(spark)
+      assert(clone.conf.get(key) == "123456")
+      spark.conf.unset(key)
+      t.merge(TranscriptWal.synthetic(spark, 20, 2, lsnOffset = 100000L), "t", 2)
+      assert(!clone.conf.getAll.contains(key),
+        "an unset key must not keep its stale value in the write clone")
+    } finally spark.conf.unset(key)
+  }
 }

@@ -501,4 +501,124 @@ class StreamingSpec extends AnyFunSuite {
     assert(t.read().count() == rows)
     wal.unpersist()
   }
+
+  test("change-feed `select` option narrows the stream schema (no pruning rule runs on streams)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val work = Files.createTempDirectory("cdf-sel").toString
+    val src = new LakeTable(spark, s"$work/src", numBuckets = 2)
+    val wal = TranscriptWal.synthetic(spark, 200, 4).cache()
+    src.merge(wal, "t", 1)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val q = spark.readStream.format("graftlake").option("path", src.path)
+      .option("startingVersion", "0")
+      .option("select", "conv_id,_lsn") // drops _commit_version too
+      .load()
+      .writeStream
+      .option("checkpointLocation", s"$work/cp")
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        assert(b.columns.toSeq == Seq("conv_id", "_lsn"),
+          s"narrowed schema expected, got ${b.columns.mkString(",")}")
+        seen ++= b.collect().map(r => (r.getString(0), r.getLong(1))); ()
+      }
+      .start()
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    val exp = wal.select("conv_id", "lsn").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(seen.sorted.toSeq == exp, "same rows, fewer columns")
+    // unknown column fails loudly at load
+    val e = intercept[Exception] {
+      spark.readStream.format("graftlake").option("path", src.path)
+        .option("startingVersion", "0").option("select", "conv_id,nope").load()
+    }
+    assert(e.getMessage.contains("nope"))
+    wal.unpersist()
+  }
+
+  test("DSv2 streaming SINK: lake→lake via writeStream.format, restart no-dup") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val work = Files.createTempDirectory("sink").toString
+    val src = new LakeTable(spark, s"$work/src", numBuckets = 4)
+    val dst = new LakeTable(spark, s"$work/dst", numBuckets = 4)
+    val wal = TranscriptWal.synthetic(spark, 600, 8, deleteFraction = 0.1).cache()
+    src.merge(wal.where($"lsn" < 200), "t", 1)
+    // the sink appends to an EXISTING table: declare dst's schema first
+    // (the same empty schema-carrying merge CREATE TABLE performs)
+    val envelope = StructType(
+      StructField("op", StringType) +: StructField("lsn", LongType) +:
+        StructField("commit_ts", TimestampType) +:
+        src.currentSnapshot.get.schema.fields)
+    dst.merge(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], envelope), "create", 0)
+
+    def startSink() = spark.readStream.format("graftlake")
+      .option("path", src.path).option("startingVersion", "0").load()
+      .withColumnRenamed("_lsn", "lsn")
+      .withColumn("commit_ts", col("ts"))
+      .drop("_commit_version")
+      .writeStream.format("graftlake")
+      .option("path", dst.path)
+      .option("checkpointLocation", s"$work/cp")
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+
+    val q = startSink()
+    q.processAllAvailable()
+    src.merge(wal.where($"lsn" >= 200 && $"lsn" < 400), "t", 2)
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+    def state(t: LakeTable) = t.read().select("conv_id", "turn_idx", "text")
+    assert(state(dst).count() > 0)
+    assert(state(dst).exceptAll(state(src)).count() == 0 &&
+      state(src).exceptAll(state(dst)).count() == 0,
+      "sinked lake must equal the source lake's live state")
+
+    // kill/resume: only commit 3 replays; total_events proves no double-apply
+    src.merge(wal.where($"lsn" >= 400), "t", 3)
+    val q2 = startSink()
+    q2.processAllAvailable()
+    q2.stop(); q2.awaitTermination()
+    assert(state(dst).exceptAll(state(src)).count() == 0 &&
+      state(src).exceptAll(state(dst)).count() == 0)
+    assert(dst.currentSnapshot.get.metrics("total_events") == wal.count(),
+      "every source row applied EXACTLY once across restarts")
+    // tombstones flowed as real deletes, not as live rows
+    assert(wal.where($"op" === "D").count() > 0)
+    wal.unpersist()
+  }
+
+  test("DSv2 streaming SINK: envelope-less stream gets synthesized upsert lsns") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val work = Files.createTempDirectory("sink-plain").toString
+    val dst = new LakeTable(spark, s"$work/dst", numBuckets = 2)
+    val payload = StructType(Seq(StructField("conv_id", StringType),
+      StructField("turn_idx", IntegerType), StructField("text", StringType)))
+    val envelope = StructType(
+      StructField("op", StringType) +: StructField("lsn", LongType) +:
+        StructField("commit_ts", TimestampType) +: payload.fields)
+    dst.merge(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], envelope), "create", 0)
+    val in = s"$work/in"
+    Seq(("a", 0, "v1"), ("b", 0, "v1")).toDF("conv_id", "turn_idx", "text")
+      .coalesce(1).write.mode("append").parquet(in)
+    val q = spark.readStream.schema(payload)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .writeStream.format("graftlake")
+      .option("path", dst.path)
+      .option("checkpointLocation", s"$work/cp")
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    q.processAllAvailable()
+    // a later batch UPDATES key (a,0): its synthesized lsn (base+batch+1)
+    // must beat batch 0's — last batch wins deterministically
+    Seq(("a", 0, "v2"), ("c", 0, "v1")).toDF("conv_id", "turn_idx", "text")
+      .coalesce(1).write.mode("append").parquet(in)
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+    val got = dst.read().select("conv_id", "text").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("a", "v2"), ("b", "v1"), ("c", "v1")))
+  }
 }

@@ -333,6 +333,78 @@ class WriterContractSpec extends AnyFunSuite {
     assert(t.readAsOf(vBefore).count() == 4, "truncate is tombstones, not erasure")
   }
 
+  test("SQL MERGE INTO: matched update/delete + not-matched insert, CDC-native") {
+    val rootDir = Files.createTempDirectory("graft-mrg").toString
+    spark.conf.set("spark.sql.catalog.gmrg", classOf[graft.lake.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gmrg.root", rootDir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmrg.ns")
+    spark.sql("CREATE TABLE gmrg.ns.t (conv_id STRING, turn_idx INT, text STRING) " +
+      "USING graftlake PARTITIONED BY (bucket(4, conv_id))")
+    spark.sql("INSERT INTO gmrg.ns.t VALUES " +
+      "('c1', 0, 'old'), ('c2', 0, 'doomed'), ('c3', 0, 'untouched')")
+    val t = LakeTable.open(spark, s"$rootDir/ns/t")
+    val vBefore = t.latestVersion.get
+    Seq(("c1", 0, "updated", "U"), ("c2", 0, null: String, "D"),
+      ("c9", 9, "inserted", "U"))
+      .toDF("conv_id", "turn_idx", "text", "src_op")
+      .createOrReplaceTempView("merge_src")
+    spark.sql(
+      """MERGE INTO gmrg.ns.t t USING merge_src s
+        |  ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+        |  WHEN MATCHED AND s.src_op = 'D' THEN DELETE
+        |  WHEN MATCHED THEN UPDATE SET text = s.text
+        |  WHEN NOT MATCHED THEN INSERT (conv_id, turn_idx, text)
+        |    VALUES (s.conv_id, s.turn_idx, s.text)""".stripMargin)
+    val got = spark.sql("SELECT conv_id, text FROM gmrg.ns.t ORDER BY conv_id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(("c1", "updated"), ("c3", "untouched"), ("c9", "inserted")))
+    // merge-on-read CDC: the MERGE is ONE delta epoch (tombstone for the
+    // delete, upserts for update+insert), the feed carries it, and time
+    // travel still serves the pre-merge state
+    assert(t.latestVersion.get == vBefore + 1, "one MERGE = one commit")
+    val feed = t.changesSince(vBefore)
+    assert(feed.where(col("op") === "D").count() == 2, // c2 + c1's update-tombstone
+      "delete + update-as-delete both tombstone through the feed")
+    assert(feed.where(col("op") === "U").count() == 2) // c1 reinsert + c9 insert
+    assert(t.readAsOf(vBefore).count() == 3)
+    // idempotent arbitration: the update's reinsert BEAT its own tombstone
+    assert(spark.sql("SELECT count(*) FROM gmrg.ns.t WHERE conv_id='c1'")
+      .collect()(0).getLong(0) == 1)
+  }
+
+  test("SQL UPDATE rewrites in place — including key-column updates") {
+    val rootDir = Files.createTempDirectory("graft-upd").toString
+    spark.conf.set("spark.sql.catalog.gupd", classOf[graft.lake.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gupd.root", rootDir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gupd.ns")
+    spark.sql("CREATE TABLE gupd.ns.t (conv_id STRING, turn_idx INT, text STRING) " +
+      "USING graftlake PARTITIONED BY (bucket(4, conv_id))")
+    spark.sql("INSERT INTO gupd.ns.t VALUES " +
+      "('c1', 0, 'a'), ('c1', 1, 'b'), ('c2', 0, 'c')")
+    spark.sql("UPDATE gupd.ns.t SET text = concat(text, '!') WHERE conv_id = 'c1'")
+    assert(spark.sql("SELECT text FROM gupd.ns.t ORDER BY conv_id, turn_idx")
+      .collect().map(_.getString(0)).toSeq == Seq("a!", "b!", "c"))
+    // key-column update: the OLD key must die (delete+reinsert semantics)
+    spark.sql("UPDATE gupd.ns.t SET turn_idx = 7 WHERE conv_id = 'c2'")
+    val keys = spark.sql("SELECT conv_id, turn_idx FROM gupd.ns.t ORDER BY conv_id, turn_idx")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(keys == Seq(("c1", 0), ("c1", 1), ("c2", 7)))
+    val t = LakeTable.open(spark, s"$rootDir/ns/t")
+    assert(t.read().count() == 3)
+  }
+
+  test("row-level commits are serializable: an interleaved commit aborts loudly") {
+    val t = new LakeTable(spark, Files.createTempDirectory("graft-iso").toString, 4)
+    t.merge(TranscriptWal.synthetic(spark, 100, 4), "t", 1)
+    val pinned = t.currentSnapshot.get
+    // a writer sneaks in a commit after the row-level operation pinned
+    t.merge(TranscriptWal.synthetic(spark, 50, 4, lsnOffset = 1000000L), "t", 2)
+    val e = intercept[graft.lake.CommitConflictException] {
+      t.commitPinned(pinned, "sql-merge", Map.empty, 1L, 0L, 0L, 0L)
+    }
+    assert(e.getMessage.contains("re-run"))
+  }
+
   test("SQL bucket() function agrees with the writer's physical routing") {
     val rootDir = Files.createTempDirectory("graft-fn").toString
     spark.conf.set("spark.sql.catalog.gfn", classOf[graft.lake.GraftCatalog].getName)
