@@ -219,6 +219,28 @@ object SparkEntry {
         .orderBy("conv_id", "turn_idx")
     }),
 
+    // SQL OVERWRITE SURFACE — `INSERT OVERWRITE` as ONE atomic
+    // generation-swap epoch: every live key tombstoned at max_lsn+1, the
+    // new rows landed above, merge-on-read (history + change feed keep the
+    // old generation). Self-referencing SELECT is safe: the scan reads the
+    // pinned pre-swap version, the commit is a new version.
+    "q_sql_overwrite" -> ((s, dir) => {
+      val work = scratchDir("graftlake")
+      val conf = IngestConfig(tablePath = s"$work/lake/ns/t",
+        checkpointPath = s"$work/cp", numBuckets = 16, enforceWatermark = false)
+      val wal = TranscriptWal.fromEvents(s, dir)
+      val table = CdcIngestJob.replayBatch(s, wal, conf)
+      val cat = s"go${Math.abs(work.hashCode)}"
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.lake.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", s"$work/lake")
+      s.sql(s"INSERT OVERWRITE $cat.ns.t " +
+        s"SELECT conv_id, turn_idx, role, concat('kept: ', text) AS text, tool, ts " +
+        s"FROM $cat.ns.t WHERE role = 'purchase'")
+      table.read()
+        .select("conv_id", "turn_idx", "role", "text", "tool")
+        .orderBy("conv_id", "turn_idx")
+    }),
+
     // CHANGE FEED, TIME-WINDOWED — raw change rows whose event time falls in
     // the middle half of the stream, served with manifest-stat file skipping
     // (exact: the feed is unarbitrated).
@@ -1046,6 +1068,16 @@ object SparkEntry {
            |            THEN text || ' [edited]' ELSE text END AS text,
            |       tool
            |FROM latest WHERE rn = 1 AND op <> 'D'
+           |ORDER BY conv_id, turn_idx""".stripMargin,
+
+      // The state after INSERT OVERWRITE with the purchase-only selection:
+      // exactly the surviving generation, texts prefixed.
+      "q_sql_overwrite" ->
+        s"""$walCte, latest AS (
+           |  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+           |  FROM wal)
+           |SELECT conv_id, turn_idx, role, 'kept: ' || text AS text, tool
+           |FROM latest WHERE rn = 1 AND op <> 'D' AND role = 'purchase'
            |ORDER BY conv_id, turn_idx""".stripMargin,
 
       // Raw change rows in the middle half of the event-time span.

@@ -60,15 +60,21 @@ final class GraftLakeSource extends RelationProvider with DataSourceRegister
       parameters.get("changesSince").map(_.toLong))
 
   /** v1 write path (`df.write.format("graftlake")` when v2 is bypassed):
-    * append-only upsert epoch.
+    * Append = upsert epoch; Overwrite = ONE atomic generation-swap epoch
+    * (tombstone the live state + land the new rows — merge-on-read, history
+    * kept, never a directory swap).
     */
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
                               parameters: Map[String, String],
                               data: DataFrame): BaseRelation = {
-    require(mode == SaveMode.Append,
-      s"graftlake is append/merge-only (got $mode): upserts supersede by lsn")
-    LakeTable.open(sqlContext.sparkSession, pathOf(parameters))
-      .appendAsUpserts(data)
+    val t = LakeTable.open(sqlContext.sparkSession, pathOf(parameters))
+    mode match {
+      case SaveMode.Append    => t.appendAsUpserts(data)
+      case SaveMode.Overwrite => t.overwriteWith(data)
+      case other => throw new IllegalArgumentException(
+        s"graftlake supports SaveMode.Append (upsert epoch) and " +
+          s"SaveMode.Overwrite (atomic generation swap), got $other")
+    }
     createRelation(sqlContext, parameters)
   }
 
@@ -182,13 +188,13 @@ final class GraftLakeRelation(override val sqlContext: SQLContext,
   }
 
   /** `INSERT INTO <view USING graftlake>`: append-only upsert epoch through
-    * the same idempotent merge as the streaming sink.
+    * the same idempotent merge as the streaming sink. `INSERT OVERWRITE`
+    * lands as one atomic generation-swap epoch.
     */
   override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-    require(!overwrite, "graftlake is append/merge-only: upserts supersede " +
-      "by lsn; there is no table-truncating overwrite")
     require(asOfVersion.isEmpty && changesSince.isEmpty,
       "cannot write through a time-travel or change-feed relation")
-    table.appendAsUpserts(data)
+    if (overwrite) table.overwriteWith(data)
+    else table.appendAsUpserts(data)
   }
 }

@@ -188,18 +188,25 @@ final class GraftLakeV2Table(spark: SparkSession, path: String,
     // source), and the feed's schema differs from the batch table's — the
     // marker keeping the two from mixing is the startingVersion/changesSince
     // option.
+    // TRUNCATE = `INSERT OVERWRITE` admission (TableCapabilityCheck); the
+    // engine applies it as ONE atomic generation-swap epoch, never a
+    // directory truncation. Time-travel/change-feed writes are still
+    // rejected at newWriteBuilder.
     if (changesSince.isDefined)
       java.util.EnumSet.of(TableCapability.BATCH_READ,
-        TableCapability.MICRO_BATCH_READ, TableCapability.V1_BATCH_WRITE)
+        TableCapability.MICRO_BATCH_READ, TableCapability.V1_BATCH_WRITE,
+        TableCapability.TRUNCATE)
     else if (asOfVersion.isEmpty && LakeTable.existsAt(path))
       // STREAMING_WRITE only for an EXISTING table: the sink appends epochs
       // to a declared schema — creating tables is the batch/DDL surface's
       // job, and advertising the capability on a fresh path would defer the
       // failure from analysis to mid-stream.
       java.util.EnumSet.of(TableCapability.BATCH_READ,
-        TableCapability.V1_BATCH_WRITE, TableCapability.STREAMING_WRITE)
+        TableCapability.V1_BATCH_WRITE, TableCapability.STREAMING_WRITE,
+        TableCapability.TRUNCATE)
     else
-      java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+      java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // READS of a snapshot-less path fail loudly here (writes may still
@@ -212,14 +219,21 @@ final class GraftLakeV2Table(spark: SparkSession, path: String,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(asOfVersion.isEmpty && changesSince.isEmpty,
       "cannot write through a time-travel or change-feed relation")
-    new WriteBuilder {
+    new WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+      // `INSERT OVERWRITE` arrives as truncate()+append on ONE builder; the
+      // engine applies both halves as ONE atomic generation-swap epoch
+      // (LakeTable.overwriteWith) — the flag survives into build() because
+      // Spark's V1 fallback writers do not re-signal overwrite at insert().
+      private var replace = false
+      override def truncate(): WriteBuilder = { replace = true; this }
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-              require(!overwrite, "graftlake is append/merge-only: upserts " +
-                "supersede by lsn; there is no table-truncating overwrite")
-              LakeTable.open(spark, path).appendAsUpserts(data)
+              val t = LakeTable.open(spark, path)
+              if (replace || overwrite) t.overwriteWith(data)
+              else t.appendAsUpserts(data)
             }
           }
         /** `writeStream.format("graftlake")`: every micro-batch is one

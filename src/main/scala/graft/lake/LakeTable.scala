@@ -974,40 +974,7 @@ final class LakeTable(val spark: SparkSession, val path: String,
       val epochId = prev.flatMap(_.committedEpochs.get(ns)).getOrElse(-1L) + 1
       val lsnBase = prev.flatMap(_.metrics.get("max_lsn")).getOrElse(0L)
       val nowMicros = System.currentTimeMillis() * 1000L
-      var batch = data
-      if (!batch.columns.contains("op")) batch = batch.withColumn("op", lit("U"))
-      if (!batch.columns.contains("lsn")) {
-        // Per-row lsn = max_lsn + row_number within the key, ordered over
-        // the orderable payload columns (nulls first; ties are
-        // byte-identical rows, so any winner is the same row). Partitioned
-        // by key — the numbering shuffle distributes, never a single-task
-        // global window.
-        //
-        // DETERMINISM CONTRACT: the same-key winner is deterministic over
-        // the ORDERABLE projection of the payload. Two same-key rows
-        // distinguishable ONLY by a non-orderable column (map, or a struct
-        // containing one) would tie nondeterministically — rejected loudly
-        // below when NO payload column is orderable (the fully undefined
-        // case); a mixed schema where orderable columns tie is documented
-        // as arbitrary-but-single-winner.
-        val payloadFields = batch.schema.fields.toSeq
-          .filterNot(f => keyCols.contains(f.name) || f.name == "op")
-        val orderCols = payloadFields
-          .filter(f => org.apache.spark.sql.catalyst.expressions.RowOrdering
-            .isOrderable(f.dataType))
-          .map(f => col(f.name).asc_nulls_first)
-        require(orderCols.nonEmpty || payloadFields.isEmpty,
-          s"appendAsUpserts at $path: no payload column of " +
-            s"(${payloadFields.map(_.name).mkString(", ")}) is orderable, so " +
-            "same-key rows in one batch would resolve to a nondeterministic " +
-            "winner — supply an explicit 'lsn' column to order them")
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(keyCols.map(col): _*)
-          .orderBy((if (orderCols.isEmpty) Seq(lit(1).asc) else orderCols): _*)
-        batch = batch.withColumn("lsn", lit(lsnBase) + row_number().over(w))
-      }
-      if (!batch.columns.contains("commit_ts"))
-        batch = batch.withColumn("commit_ts", timestamp_micros(lit(nowMicros)))
+      val batch = synthesizeEnvelope(data, lsnBase, nowMicros)
       val merged =
         try Some(merge(batch, ns, epochId))
         catch { case _: CommitConflictException => None }
@@ -1018,6 +985,96 @@ final class LakeTable(val spark: SparkSession, val path: String,
           if (attempt > maxRetries) throw new CommitConflictException(
             s"appendAsUpserts at $path lost the commit race $attempt times " +
               "(concurrent writers kept burning the self-allocated epoch id)")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Synthesize the CDC envelope on a plain payload batch — op='U',
+    * commit_ts=now, and PER-ROW lsns `lsnBase + row_number` within each
+    * key, ordered over the orderable payload columns (nulls first; ties
+    * are byte-identical rows, so any winner is the same row). Partitioned
+    * by key — the numbering shuffle distributes, never a single-task
+    * global window. Columns already present pass through untouched.
+    *
+    * DETERMINISM CONTRACT: the same-key winner is deterministic over the
+    * ORDERABLE projection of the payload. Two same-key rows
+    * distinguishable ONLY by a non-orderable column (map, or a struct
+    * containing one) would tie nondeterministically — rejected loudly when
+    * NO payload column is orderable (the fully undefined case); a mixed
+    * schema where orderable columns tie is documented as
+    * arbitrary-but-single-winner.
+    */
+  private def synthesizeEnvelope(data: DataFrame, lsnBase: Long,
+                                 nowMicros: Long): DataFrame = {
+    var batch = data
+    if (!batch.columns.contains("op")) batch = batch.withColumn("op", lit("U"))
+    if (!batch.columns.contains("lsn")) {
+      val payloadFields = batch.schema.fields.toSeq
+        .filterNot(f => keyCols.contains(f.name) || f.name == "op")
+      val orderCols = payloadFields
+        .filter(f => org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .isOrderable(f.dataType))
+        .map(f => col(f.name).asc_nulls_first)
+      require(orderCols.nonEmpty || payloadFields.isEmpty,
+        s"synthesized write at $path: no payload column of " +
+          s"(${payloadFields.map(_.name).mkString(", ")}) is orderable, so " +
+          "same-key rows in one batch would resolve to a nondeterministic " +
+          "winner — supply an explicit 'lsn' column to order them")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols.map(col): _*)
+        .orderBy((if (orderCols.isEmpty) Seq(lit(1).asc) else orderCols): _*)
+      batch = batch.withColumn("lsn", lit(lsnBase) + row_number().over(w))
+    }
+    if (!batch.columns.contains("commit_ts"))
+      batch = batch.withColumn("commit_ts", timestamp_micros(lit(nowMicros)))
+    batch
+  }
+
+  /** SQL `INSERT OVERWRITE` / `SaveMode.Overwrite`: replace the table's
+    * LIVE state with `data` in ONE atomic epoch — merge-on-read, never a
+    * directory swap. The batch is (a tombstone for every currently-live
+    * key at `max_lsn + 1`) ∪ (the new rows at per-row lsns from
+    * `max_lsn + 2`), so a key present in both old and new state is
+    * deterministically re-inserted over its own tombstone — the exact lsn
+    * pair the row-level UPDATE path uses. Readers at the previous version
+    * keep it; `VERSION AS OF` history survives; the change feed shows the
+    * swap as ordinary D/U change rows; compaction + GC fold the dead
+    * generation out later. O(live keys + new rows) delta bytes.
+    *
+    * `data` must be a PLAIN payload frame (no op/lsn columns): an
+    * overwrite defines the table's new ordering baseline itself — caller-
+    * supplied lsns could interleave below the tombstones and silently lose.
+    */
+  def overwriteWith(data: DataFrame, maxRetries: Int = 5): MergeResult = {
+    require(!data.columns.contains("op") && !data.columns.contains("lsn"),
+      s"overwriteWith at $path takes a plain payload frame — op/lsn are " +
+        "allocated by the overwrite itself (caller lsns could sort below " +
+        "the generation tombstones and silently lose)")
+    val ns = "sql-overwrite"
+    var attempt = 0
+    while (true) {
+      val prev = currentSnapshot
+      if (prev.isEmpty) return appendAsUpserts(data, maxRetries) // fresh path: a create
+      val epochId = prev.flatMap(_.committedEpochs.get(ns)).getOrElse(-1L) + 1
+      val lsnDelete = prev.flatMap(_.metrics.get("max_lsn")).getOrElse(0L) + 1
+      val nowMicros = System.currentTimeMillis() * 1000L
+      val tombstones = readState(prev.get).where(col("op") =!= "D")
+        .select(keyCols.map(col): _*)
+        .withColumn("op", lit("D"))
+        .withColumn("lsn", lit(lsnDelete))
+        .withColumn("commit_ts", timestamp_micros(lit(nowMicros)))
+      val upserts = synthesizeEnvelope(data, lsnDelete, nowMicros)
+      val batch = tombstones.unionByName(upserts, allowMissingColumns = true)
+      val merged =
+        try Some(merge(batch, ns, epochId))
+        catch { case _: CommitConflictException => None }
+      merged match {
+        case Some(r) if r.applied => return r
+        case _ => // lost the CAS, or a racer burned this attempt's epoch id
+          attempt += 1
+          if (attempt > maxRetries) throw new CommitConflictException(
+            s"overwriteWith at $path lost the commit race $attempt times")
       }
     }
     throw new IllegalStateException("unreachable")

@@ -917,12 +917,21 @@ class LakeTableSpec extends AnyFunSuite {
       .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
       .write.format("graftlake").mode("append").save(t.path)
     assert(t.readConv("dfconv").count() == 1)
-    // overwrite is refused loudly (append/merge-only contract)
+    // overwrite swaps the live generation atomically (merge-on-read —
+    // WriterContractSpec covers the full contract); unknown modes refused
+    val vBefore = t.latestVersion.get
+    Seq(("x", 0, "user", "only row now", Option.empty[String],
+      new java.sql.Timestamp(0L)))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+      .write.format("graftlake").mode("overwrite").save(t.path)
+    assert(t.latestVersion.get == vBefore + 1, "one overwrite = one commit")
+    assert(t.read().select("conv_id").collect().map(_.getString(0)).toSeq == Seq("x"))
+    assert(t.readAsOf(vBefore).count() > 1, "pre-swap state survives")
     intercept[Exception] {
       Seq(("x", 0, "user", "nope", Option.empty[String],
         new java.sql.Timestamp(0L)))
         .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
-        .write.format("graftlake").mode("overwrite").save(t.path)
+        .write.format("graftlake").mode("ignore").save(t.path)
     }
   }
 

@@ -393,6 +393,90 @@ class WriterContractSpec extends AnyFunSuite {
     assert(t.read().count() == 3)
   }
 
+  test("SQL INSERT OVERWRITE swaps the live generation in ONE epoch; history survives") {
+    val rootDir = Files.createTempDirectory("graft-ovw").toString
+    spark.conf.set("spark.sql.catalog.govw", classOf[graft.lake.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.govw.root", rootDir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS govw.ns")
+    spark.sql("CREATE TABLE govw.ns.t (conv_id STRING, turn_idx INT, text STRING) " +
+      "USING graftlake PARTITIONED BY (bucket(4, conv_id))")
+    spark.sql("INSERT INTO govw.ns.t VALUES " +
+      "('c1', 0, 'old'), ('c2', 0, 'old'), ('c3', 0, 'old')")
+    val t = LakeTable.open(spark, s"$rootDir/ns/t")
+    val vBefore = t.latestVersion.get
+    // c1 survives the swap with a new text (same-key reinsert must beat its
+    // own generation tombstone); c2/c3 vanish; c9 is new
+    spark.sql("INSERT OVERWRITE govw.ns.t VALUES " +
+      "('c1', 0, 'new'), ('c9', 0, 'new')")
+    assert(t.latestVersion.get == vBefore + 1, "one OVERWRITE = one commit")
+    val got = spark.sql("SELECT conv_id, text FROM govw.ns.t ORDER BY conv_id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(("c1", "new"), ("c9", "new")))
+    // merge-on-read: the old generation is tombstoned, not erased
+    assert(t.readAsOf(vBefore).count() == 3, "time travel serves the pre-swap state")
+    val feed = t.changesSince(vBefore)
+    assert(feed.where(col("op") === "D").count() == 3, "every old key tombstoned")
+    assert(feed.where(col("op") === "U").count() == 2)
+    // df.write SaveMode.Overwrite takes the same atomic path
+    val v2 = t.latestVersion.get
+    Seq(("c7", 0, "v1-path")).toDF("conv_id", "turn_idx", "text")
+      .write.format("graftlake").mode("overwrite").save(s"$rootDir/ns/t")
+    assert(t.latestVersion.get == v2 + 1)
+    assert(t.read().select("conv_id").collect().map(_.getString(0)).toSeq == Seq("c7"))
+    // an overwrite does not take caller lsns: the generation defines its own
+    val e = intercept[IllegalArgumentException] {
+      t.overwriteWith(Seq(("c8", 0, 5L)).toDF("conv_id", "turn_idx", "lsn"))
+    }
+    assert(e.getMessage.contains("plain payload"))
+  }
+
+  test("SQL MERGE WHEN NOT MATCHED BY SOURCE prunes target rows absent from the source") {
+    val rootDir = Files.createTempDirectory("graft-nms").toString
+    spark.conf.set("spark.sql.catalog.gnms", classOf[graft.lake.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gnms.root", rootDir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gnms.ns")
+    spark.sql("CREATE TABLE gnms.ns.t (conv_id STRING, turn_idx INT, text STRING) " +
+      "USING graftlake PARTITIONED BY (bucket(4, conv_id))")
+    spark.sql("INSERT INTO gnms.ns.t VALUES " +
+      "('c1', 0, 'stays'), ('c2', 0, 'updated by source'), ('c3', 0, 'not in source')")
+    Seq(("c1", 0, "stays"), ("c2", 0, "fresh"))
+      .toDF("conv_id", "turn_idx", "text").createOrReplaceTempView("nms_src")
+    // the full sync idiom: matched rows take the source's values, target
+    // rows the source no longer carries are deleted — one statement, one epoch
+    val t = LakeTable.open(spark, s"$rootDir/ns/t")
+    val vBefore = t.latestVersion.get
+    spark.sql(
+      """MERGE INTO gnms.ns.t t USING nms_src s
+        |  ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+        |  WHEN MATCHED THEN UPDATE SET text = s.text
+        |  WHEN NOT MATCHED THEN INSERT *
+        |  WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    val got = spark.sql("SELECT conv_id, text FROM gnms.ns.t ORDER BY conv_id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(("c1", "stays"), ("c2", "fresh")))
+    assert(t.latestVersion.get == vBefore + 1, "one MERGE = one commit")
+  }
+
+  test("SQL DELETE with a subquery predicate falls back to the row-level path") {
+    val rootDir = Files.createTempDirectory("graft-sqd").toString
+    spark.conf.set("spark.sql.catalog.gsqd", classOf[graft.lake.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsqd.root", rootDir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gsqd.ns")
+    spark.sql("CREATE TABLE gsqd.ns.t (conv_id STRING, turn_idx INT, text STRING) " +
+      "USING graftlake PARTITIONED BY (bucket(4, conv_id))")
+    spark.sql("INSERT INTO gsqd.ns.t VALUES " +
+      "('c1', 0, 'keep'), ('c2', 0, 'doomed'), ('c3', 0, 'doomed')")
+    Seq("c2", "c3").toDF("doomed_id").createOrReplaceTempView("sqd_doomed")
+    // untranslatable to the v1 Filter algebra (canDeleteWhere refuses), so
+    // Spark rewrites through SupportsRowLevelOperations/SupportsDelta
+    spark.sql("DELETE FROM gsqd.ns.t WHERE conv_id IN (SELECT doomed_id FROM sqd_doomed)")
+    assert(spark.sql("SELECT conv_id FROM gsqd.ns.t").collect()
+      .map(_.getString(0)).toSeq == Seq("c1"))
+    val t = LakeTable.open(spark, s"$rootDir/ns/t")
+    assert(t.changesSince(t.latestVersion.get - 1)
+      .where(col("op") === "D").count() == 2, "subquery DELETE is tombstones too")
+  }
+
   test("row-level commits are serializable: an interleaved commit aborts loudly") {
     val t = new LakeTable(spark, Files.createTempDirectory("graft-iso").toString, 4)
     t.merge(TranscriptWal.synthetic(spark, 100, 4), "t", 1)
