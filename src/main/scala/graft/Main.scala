@@ -21,7 +21,9 @@ import graft.stream.CdcIngestJob
   * Also: `compact --table DIR [--gc-below-lsn N]`, `vacuum --table DIR
   * [--keep N]`, `history --table DIR` (one JSON line per retained commit,
   * newest first), `delete --table DIR --where 'SQL bool expr'` (tombstone
-  * merge of matching live rows), `rebucket --table DIR --target DIR
+  * merge of matching live rows), `rollback --table DIR --version V`
+  * (restore an earlier retained version as a NEW diff commit — the reversal
+  * flows through the change feed), `rebucket --table DIR --target DIR
   * --buckets N`, and
   * `mirror --source DIR --target DIR --checkpoint DIR [--buckets N]
   * [--starting-version V] [--follow [interval]] [--for-seconds N]` —
@@ -51,7 +53,7 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: ingest|mirror|compact|vacuum|history|delete|rebucket [--flags]")
+      "usage: ingest|mirror|compact|vacuum|history|delete|rollback|rebucket [--flags]")
     val cmd = args(0)
     val a = parseArgs(args.drop(1).toSeq)
     def req(k: String): String =
@@ -146,6 +148,13 @@ object Main {
         val t = graft.lake.LakeTable.open(spark, req("table"))
         val n = t.deleteWhere(org.apache.spark.sql.functions.expr(req("where")))
         println(s"""{"deleted":$n,"version":${t.latestVersion.getOrElse(-1L)}}""")
+      case "rollback" =>
+        // restore an earlier version AS A NEW COMMIT (diff-based; the
+        // reversal is change-feed visible, history keeps every generation)
+        val t = graft.lake.LakeTable.open(spark, req("table"))
+        val r = t.rollbackTo(req("version").toLong)
+        println(s"""{"restoredVersion":${req("version")},"newVersion":${r.version},""" +
+          s""""upserts":${r.upserts},"deletes":${r.deletes}}""")
       case "history" =>
         // ops surface: one JSON line per retained commit, newest first
         val t = graft.lake.LakeTable.open(spark, req("table"))

@@ -241,6 +241,30 @@ object SparkEntry {
         .orderBy("conv_id", "turn_idx")
     }),
 
+    // SQL ROLLBACK SURFACE — `CALL system.rollback` restores an earlier
+    // version AS A NEW COMMIT: a DELETE and an INSERT land after the mark,
+    // the rollback reverses both, and the reversal is itself change-feed
+    // visible (unlike a metadata-only RESTORE). Final state == the state at
+    // the mark, i.e. the plain applied WAL.
+    "q_sql_rollback" -> ((s, dir) => {
+      val work = scratchDir("graftlake")
+      val conf = IngestConfig(tablePath = s"$work/lake/ns/t",
+        checkpointPath = s"$work/cp", numBuckets = 16, enforceWatermark = false)
+      val wal = TranscriptWal.fromEvents(s, dir)
+      val table = CdcIngestJob.replayBatch(s, wal, conf)
+      val mark = table.latestVersion.get
+      val cat = s"gr${Math.abs(work.hashCode)}"
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.lake.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", s"$work/lake")
+      s.sql(s"DELETE FROM $cat.ns.t WHERE role = 'user' AND turn_idx >= 3")
+      s.sql(s"INSERT INTO $cat.ns.t VALUES " +
+        "('zz_gone', 0, 'user', 'will be rolled back', NULL, TIMESTAMP'2024-06-01 00:00:00')")
+      s.sql(s"CALL $cat.system.rollback(table => 'ns.t', version => $mark)")
+      table.read()
+        .select("conv_id", "turn_idx", "role", "text", "tool")
+        .orderBy("conv_id", "turn_idx")
+    }),
+
     // CHANGE FEED, TIME-WINDOWED — raw change rows whose event time falls in
     // the middle half of the stream, served with manifest-stat file skipping
     // (exact: the feed is unarbitrated).
@@ -1078,6 +1102,16 @@ object SparkEntry {
            |  FROM wal)
            |SELECT conv_id, turn_idx, role, 'kept: ' || text AS text, tool
            |FROM latest WHERE rn = 1 AND op <> 'D' AND role = 'purchase'
+           |ORDER BY conv_id, turn_idx""".stripMargin,
+
+      // Rollback restores the pre-mutation mark exactly: the plain applied
+      // WAL (the DELETE and the INSERT after the mark are both reversed).
+      "q_sql_rollback" ->
+        s"""$walCte, latest AS (
+           |  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+           |  FROM wal)
+           |SELECT conv_id, turn_idx, role, text, tool
+           |FROM latest WHERE rn = 1 AND op <> 'D'
            |ORDER BY conv_id, turn_idx""".stripMargin,
 
       // Raw change rows in the middle half of the event-time span.

@@ -218,10 +218,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   //   CALL gcat.system.compact(table => 'prod.turns');
   //   CALL gcat.system.compact(table => 'prod.turns', gc_below_lsn => 500);
   //   CALL gcat.system.vacuum(table => 'prod.turns', keep => 3, grace_ms => 600000);
+  //   CALL gcat.system.history(table => 'prod.turns');
+  //   CALL gcat.system.rollback(table => 'prod.turns', version => 7);
   //
   // The ops half of the SQL-only story: a deployment that creates, loads and
-  // queries lakes through pure SQL can run its compaction/retention jobs the
-  // same way — no Scala API, no paths. Each returns one result row.
+  // queries lakes through pure SQL can run its compaction/retention/restore
+  // jobs and read per-version lineage the same way — no Scala API, no paths.
 
   import org.apache.spark.sql.connector.catalog.procedures.{
     BoundProcedure, ProcedureParameter, UnboundProcedure}
@@ -239,10 +241,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     LakeTable.open(spark, dir.toString)
   }
 
-  private def resultScan(schema: StructType, row: InternalRow): java.util.Iterator[Scan] =
+  private def resultScan(schema: StructType, resultRows: InternalRow*): java.util.Iterator[Scan] =
     java.util.List.of[Scan](new LocalScan {
       override def readSchema(): StructType = schema
-      override def rows(): Array[InternalRow] = Array(row)
+      override def rows(): Array[InternalRow] = resultRows.toArray
     }).iterator()
 
   private object CompactProcedure extends UnboundProcedure with BoundProcedure {
@@ -294,19 +296,67 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
+  private object HistoryProcedure extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "history"
+    override def description(): String =
+      "per-version lineage, newest first: epochs, event/delete counts, " +
+        "watermark, schema width, bucket/file counts, commit time"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("namespace.table under this catalog").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      // all-numeric schema: Row values pass straight into InternalRows
+      val df = tableForProc(input.getString(0)).history()
+      resultScan(df.schema,
+        df.collect().toIndexedSeq.map(r => InternalRow.fromSeq(r.toSeq)): _*)
+    }
+  }
+
+  private object RollbackProcedure extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "rollback"
+    override def description(): String =
+      "restore the live state to an earlier version AS A NEW COMMIT: the " +
+        "reversal flows through the change feed (downstream mirrors " +
+        "converge), history and time travel keep every generation"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("namespace.table under this catalog").build(),
+      ProcedureParameter.in("version", LongType)
+        .comment("retained snapshot version to restore").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val t = tableForProc(input.getString(0))
+      val r = t.rollbackTo(input.getLong(1))
+      resultScan(StructType(Seq(
+        org.apache.spark.sql.types.StructField("restored_version", LongType),
+        org.apache.spark.sql.types.StructField("new_version", LongType),
+        org.apache.spark.sql.types.StructField("upserts", LongType),
+        org.apache.spark.sql.types.StructField("deletes", LongType))),
+        InternalRow(input.getLong(1), r.version, r.upserts, r.deletes))
+    }
+  }
+
   override def loadProcedure(ident: Identifier): UnboundProcedure =
     (ident.namespace.toSeq, ident.name.toLowerCase) match {
-      case (Seq("system"), "compact") => CompactProcedure
-      case (Seq("system"), "vacuum")  => VacuumProcedure
+      case (Seq("system"), "compact")  => CompactProcedure
+      case (Seq("system"), "vacuum")   => VacuumProcedure
+      case (Seq("system"), "history")  => HistoryProcedure
+      case (Seq("system"), "rollback") => RollbackProcedure
       case _ => throw new UnsupportedOperationException(
         s"unknown procedure ${ident.namespace.mkString(".")}.${ident.name} — " +
-          "graftlake provides system.compact and system.vacuum")
+          "graftlake provides system.compact, system.vacuum, system.history " +
+          "and system.rollback")
     }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.toSeq == Seq("system"))
       Array(Identifier.of(Array("system"), "compact"),
-        Identifier.of(Array("system"), "vacuum"))
+        Identifier.of(Array("system"), "vacuum"),
+        Identifier.of(Array("system"), "history"),
+        Identifier.of(Array("system"), "rollback"))
     else Array.empty
 
   // ---- functions (SQL surface of the physical layout) -----------------------
@@ -347,7 +397,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadFunction(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
     (ident.namespace.toSeq, ident.name.toLowerCase) match {
-      case (Seq("system"), "bucket") => BucketFunction
+      // Seq(): Spark's write-distribution resolution looks transforms up
+      // unqualified (Identifier.of(Array.empty, "bucket")) — the lookup
+      // behind RequiresDistributionAndOrdering's bucket clustering.
+      case (Seq("system") | Seq(), "bucket") => BucketFunction
       case _ => throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchFunctionException(ident)
     }

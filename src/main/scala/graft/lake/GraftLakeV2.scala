@@ -183,11 +183,16 @@ final class GraftLakeV2Table(spark: SparkSession, path: String,
   }
 
   override def capabilities(): java.util.Set[TableCapability] =
-    // MICRO_BATCH_READ only in change-feed mode: a stream of a graftlake
-    // table IS its change feed (the live state is not an append-only
-    // source), and the feed's schema differs from the batch table's — the
-    // marker keeping the two from mixing is the startingVersion/changesSince
-    // option.
+    // MICRO_BATCH_READ is advertised on every non-time-travel relation, but
+    // streaming a graftlake table MEANS streaming its change feed, and the
+    // feed's schema (payload + _change meta columns) differs from the batch
+    // table's — so schema() can only resolve the change shape when the
+    // startingVersion/changesSince option marks the intent. Without the
+    // option, the capability still admits the plan so the STREAM START fails
+    // with the actionable "pass startingVersion" message (toMicroBatchStream)
+    // instead of Spark's generic capability error at analysis. Defaulting
+    // silently to startingVersion=0 is NOT possible: the same Table instance
+    // would then have to answer schema() with two different shapes.
     // TRUNCATE = `INSERT OVERWRITE` admission (TableCapabilityCheck); the
     // engine applies it as ONE atomic generation-swap epoch, never a
     // directory truncation. Time-travel/change-feed writes are still
@@ -202,8 +207,14 @@ final class GraftLakeV2Table(spark: SparkSession, path: String,
       // job, and advertising the capability on a fresh path would defer the
       // failure from analysis to mid-stream.
       java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.MICRO_BATCH_READ,
         TableCapability.V1_BATCH_WRITE, TableCapability.STREAMING_WRITE,
         TableCapability.TRUNCATE)
+    else if (asOfVersion.isEmpty)
+      // fresh path: streaming reads reach requireTableAt's loud error
+      java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.MICRO_BATCH_READ,
+        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
     else
       java.util.EnumSet.of(TableCapability.BATCH_READ,
         TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
@@ -290,6 +301,7 @@ final class GraftLakeScanBuilder(spark: SparkSession, path: String,
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    batchPushdownSeen = true
     val keyed = filters.flatMap(f => keysOf(f).map(f -> _))
     convKeys = keyed.headOption.map(_._2)
     handled = keyed.map(_._1)
@@ -304,7 +316,18 @@ final class GraftLakeScanBuilder(spark: SparkSession, path: String,
 
   private var aggPushed = false
 
+  /** Set iff Spark's batch pushdown visited this builder. Streaming plans
+    * never run V2ScanRelationPushDown, so a build() without a prior
+    * pruneColumns call is a STREAMING build — routed to the V1Scan whose
+    * toMicroBatchStream carries the real stream (change-feed mode) or the
+    * actionable "pass startingVersion" error (batch-mode table). A batch
+    * caller that somehow skipped pushdown still gets correct rows from the
+    * V1 path, just without the columnar shortcut.
+    */
+  private var batchPushdownSeen = false
+
   override def pruneColumns(requiredSchema: StructType): Unit = {
+    batchPushdownSeen = true
     required = requiredSchema
     // After a complete aggregation push the delegate's output schema is the
     // aggregate's, computed internally — re-pruning would clobber it.
@@ -388,18 +411,19 @@ final class GraftLakeScanBuilder(spark: SparkSession, path: String,
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    batchPushdownSeen = true
     aggPushed = allFilesSchemaComplete && innerOpt.exists(_.pushAggregation(agg))
     aggPushed
   }
 
   override def build(): Scan = innerOpt match {
-    case Some(inner) =>
+    case Some(inner) if batchPushdownSeen =>
       // The whole selected file set is compacted + tombstone-split: the scan
       // IS Spark's vectorized parquet batch scan — codegen fuses it with the
       // query above, column pruning reaches the reader (op/_lsn never read).
       if (!aggPushed) inner.pruneColumns(required)
       inner.build()
-    case None => v1Scan()
+    case _ => v1Scan()
   }
 
   /** Merge-on-read arbitration cannot be a bare file scan — bridge to the

@@ -123,7 +123,31 @@ final case class GraftDeltaCommit(files: Map[Int, Seq[String]],
 
 final class GraftDeltaWrite(lake: LakeTable, pinned: LakeTable#Snapshot,
                             epochNs: String, info: LogicalWriteInfo)
-    extends DeltaWrite {
+    extends DeltaWrite
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+
+  /** Cluster the delta rows by the table's OWN bucket function before the
+    * writers run: without it every write task opens a file per bucket it
+    * happens to see, so one MERGE from a T-task source writes O(T × buckets)
+    * delta files per epoch — at cluster scale that is a manifest and
+    * read-amplification explosion compaction has to mop up. Clustered on
+    * `bucket(n, conv_id)` (resolved through the catalog's FunctionCatalog —
+    * row-level ops always come through the catalog), all rows of one bucket
+    * land in ONE task: O(touched buckets) files, the same shape
+    * [[LakeTable.merge]] produces with its explicit repartition. Costs one
+    * O(changed) hash shuffle — the trade the engine's native merge already
+    * makes. Skew note: a pathologically hot bucket serializes into one
+    * task; the native merge salts for that — MERGE batches are O(changed)
+    * and keep the simpler exact clustering.
+    */
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    org.apache.spark.sql.connector.distributions.Distributions.clustered(
+      Array(Expressions.bucket(lake.tableNumBuckets, "conv_id")))
+
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    Array.empty
 
   private val fileSchema: StructType =
     lake.fileSchemaOf(pinned.schema.asInstanceOf[StructType])

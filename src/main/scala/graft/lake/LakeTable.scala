@@ -847,16 +847,14 @@ final class LakeTable(val spark: SparkSession, val path: String,
     // Bounded-parallel footer reads: an epoch writes O(buckets × salt) small
     // files and the open+parse is I/O-latency-bound — serially this is a
     // visible constant driver cost per commit (and a fixed cost is exactly
-    // what erodes scaling efficiency); 8 threads collapse it to ~the latency
-    // of one footer.
-    val par = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(8, math.max(1, relFiles.size)))
-    try relFiles.map { rel =>
-      par.submit(new java.util.concurrent.Callable[Option[(String, FileStat)]] {
-        override def call(): Option[(String, FileStat)] = statOne(rel, hconf)
-      })
+    // what erodes scaling efficiency); 8 shared daemon threads collapse it
+    // to ~the latency of one footer, without a pool churn per commit.
+    relFiles.map { rel =>
+      LakeTable.footerPool.submit(
+        new java.util.concurrent.Callable[Option[(String, FileStat)]] {
+          override def call(): Option[(String, FileStat)] = statOne(rel, hconf)
+        })
     }.flatMap(_.get()).toMap
-    finally par.shutdown()
   }
 
   private def statOne(rel: String,
@@ -1161,6 +1159,77 @@ final class LakeTable(val spark: SparkSession, val path: String,
               s"deleteWhere at $path lost the commit race $attempt times")
         }
       } finally doomed.unpersist(blocking = false)
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Restore the LIVE state to that of `version`, as a NEW commit (SQL
+    * surface: `CALL system.rollback`). History is preserved — the rollback
+    * is itself a versioned commit — and, unlike a metadata-only RESTORE
+    * that re-points files (the mainstream-lakehouse shape, which emits no
+    * change rows and silently strands change-feed consumers), the reversal
+    * FLOWS THROUGH the change feed: downstream mirrors converge to the
+    * rolled-back state like any other commit.
+    *
+    * Diff-based: only keys whose full live row differs from the target
+    * version's move — re-inserts/updates as upserts, keys born after
+    * `version` as tombstones. Write cost O(diff), compare cost one
+    * two-sided exceptAll over the two arbitrated states. Columns added
+    * after `version` stay in the schema (evolution is additive) and read
+    * null on restored rows — the value they had at `version`.
+    * Map-typed payloads can't participate in set-difference; those tables
+    * fall back to re-upserting every target-version row (still diffed on
+    * keys for the delete side).
+    */
+  def rollbackTo(version: Long, maxRetries: Int = 5): MergeResult = {
+    val ns = "sql-rollback"
+    var attempt = 0
+    while (true) {
+      val prev = currentSnapshot.getOrElse(throw new IllegalStateException(
+        s"cannot rollback $path: no snapshot yet"))
+      require(version <= prev.version,
+        s"cannot rollback $path to v$version: latest is v${prev.version}")
+      if (version == prev.version)
+        return MergeResult(applied = false, prev.version, 0, 0, 0, 0, 0,
+          prev.highWaterMicros)
+      val epochId = prev.committedEpochs.getOrElse(ns, -1L) + 1
+      val lsn = prev.metrics.getOrElse("max_lsn", 0L) + 1
+      val nowMicros = System.currentTimeMillis() * 1000L
+      val target = readAsOf(version) // payload frame, one row per live key
+      val current = readState(prev).where(col("op") =!= "D").drop("op", "_lsn")
+      // widen the old state to the current (possibly evolved) schema: a row
+      // that differs ONLY in a post-version column must still roll back
+      val targetW = current.columns.foldLeft(target)((df, c) =>
+        if (df.columns.contains(c)) df
+        else df.withColumn(c, lit(null).cast(current.schema(c).dataType)))
+        .select(current.columns.map(col): _*)
+      def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+        case _: org.apache.spark.sql.types.MapType => true
+        case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+        case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
+        case _ => false
+      }
+      val setOpsOk = !hasMap(current.schema)
+      val upserts = (if (setOpsOk) targetW.exceptAll(current) else targetW)
+        .withColumn("op", lit("U"))
+        .withColumn("lsn", lit(lsn))
+        .withColumn("commit_ts", timestamp_micros(lit(nowMicros)))
+      val deletes = current.select(keyCols.map(col): _*)
+        .exceptAll(targetW.select(keyCols.map(col): _*))
+        .withColumn("op", lit("D"))
+        .withColumn("lsn", lit(lsn))
+        .withColumn("commit_ts", timestamp_micros(lit(nowMicros)))
+      val batch = upserts.unionByName(deletes, allowMissingColumns = true)
+      val merged =
+        try Some(merge(batch, ns, epochId))
+        catch { case _: CommitConflictException => None }
+      merged match {
+        case Some(r) if r.applied => return r
+        case _ => // lost the CAS or a racer burned the id — re-read, retry
+          attempt += 1
+          if (attempt > maxRetries) throw new CommitConflictException(
+            s"rollbackTo at $path lost the commit race $attempt times")
+      }
     }
     throw new IllegalStateException("unreachable")
   }
@@ -1585,11 +1654,12 @@ final class LakeTable(val spark: SparkSession, val path: String,
           metric("total_events"), metric("max_lsn"),
           Option(root.get("highWaterMicros")).map(_.asLong).getOrElse(0L),
           schemaWidth, nBuckets, nFiles,
-          Option(root.get("changeFiles")).map(_.size.toLong).getOrElse(-1L))
+          Option(root.get("changeFiles")).map(_.size.toLong).getOrElse(-1L),
+          Option(root.get("commitTimeMs")).map(_.asLong).getOrElse(0L))
       }
     rows.toDF("version", "n_epochs", "last_events", "last_deletes",
       "total_events", "max_lsn", "high_water_micros", "n_columns",
-      "n_buckets", "n_files", "n_change_files")
+      "n_buckets", "n_files", "n_change_files", "commit_time_ms")
   }
 
   /** SQL surface: register the merge-on-read live state as a temp view, so
@@ -1766,6 +1836,21 @@ final class LakeTable(val spark: SparkSession, val path: String,
 }
 
 object LakeTable {
+  /** Shared JVM-wide footer-read pool: commit-time stats reads are short
+    * I/O-latency-bound bursts (one open+parse per new file per epoch) — a
+    * fresh pool per commit paid thread-creation on every hot-loop epoch.
+    * Daemon threads: the pool must never hold the JVM open.
+    */
+  private[lake] lazy val footerPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(8,
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+        override def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-footer-${n.getAndIncrement()}")
+          t.setDaemon(true); t
+        }
+      })
+
   /** ONE micros-scoped write clone per user session (a clone registers its
     * own listener bus on the shared context — per-table clones would
     * accumulate them across hundreds of tables). Weak keys: sessions are

@@ -48,10 +48,16 @@ class MainSpec extends AnyFunSuite {
     assert(t4.currentSnapshot.get.numBuckets == 4)
     assert(t4.read().count() == expected)
 
+    val preDelete = t4.latestVersion.get
     Main.main(Array("delete", "--table", s"$work/t4",
       "--where", "turn_idx = 0"))
     assert(t4.read().where("turn_idx = 0").count() == 0, "CLI delete tombstones")
     assert(t4.read().count() < expected && t4.read().count() > 0)
+
+    Main.main(Array("rollback", "--table", s"$work/t4",
+      "--version", preDelete.toString))
+    assert(t4.read().count() == expected, "CLI rollback restores the pre-delete state")
+    assert(t4.latestVersion.get > preDelete, "rollback is a NEW commit, not a rewind")
 
     // embedded use: the CLI must not have stopped the caller's session
     assert(!spark.sparkContext.isStopped)

@@ -535,6 +535,32 @@ class StreamingSpec extends AnyFunSuite {
     wal.unpersist()
   }
 
+  test("streaming read without startingVersion: actionable error, not the capability error") {
+    import org.apache.spark.sql.streaming.Trigger
+    val work = Files.createTempDirectory("cdf-noopt").toString
+    val src = new LakeTable(spark, s"$work/src", numBuckets = 2)
+    val wal = TranscriptWal.synthetic(spark, 50, 2).cache()
+    src.merge(wal, "t", 1)
+    src.compactAll() // compacted = columnar-eligible: the build() path that
+                     // previously had NO route to the helpful message
+    // analysis passes (MICRO_BATCH_READ is advertised without the option)...
+    val feed = spark.readStream.format("graftlake").option("path", src.path).load()
+    assert(feed.isStreaming)
+    // ...and the stream START surfaces the "pass startingVersion" guidance
+    val err = intercept[Throwable] {
+      val q = feed.writeStream
+        .option("checkpointLocation", s"$work/cp")
+        .trigger(Trigger.ProcessingTime("50 milliseconds"))
+        .format("noop").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("startingVersion")),
+      s"expected the actionable startingVersion message, got: ${messages(err).mkString(" | ")}")
+    wal.unpersist()
+  }
+
   test("DSv2 streaming SINK: lake→lake via writeStream.format, restart no-dup") {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types._

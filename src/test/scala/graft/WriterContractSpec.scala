@@ -527,6 +527,87 @@ class WriterContractSpec extends AnyFunSuite {
     intercept[Exception] { spark.sql("CALL gproc.system.nope()").collect() }
   }
 
+  test("SQL CALL system.rollback restores an earlier version THROUGH the change feed; history lists it") {
+    val rootDir = Files.createTempDirectory("graft-rb").toString
+    spark.conf.set("spark.sql.catalog.grb", classOf[graft.lake.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.grb.root", rootDir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS grb.ns")
+    spark.sql("CREATE TABLE grb.ns.t (conv_id STRING, turn_idx INT, text STRING) " +
+      "USING graftlake PARTITIONED BY (bucket(4, conv_id))")
+    spark.sql("INSERT INTO grb.ns.t VALUES ('c1', 0, 'keep'), ('c2', 0, 'edit me')")
+    val t = LakeTable.open(spark, s"$rootDir/ns/t")
+    val mark = t.latestVersion.get
+    spark.sql("DELETE FROM grb.ns.t WHERE conv_id = 'c1'")
+    spark.sql("INSERT INTO grb.ns.t VALUES ('c2', 0, 'edited'), ('c3', 0, 'born late')")
+    val row = spark.sql(
+      s"CALL grb.system.rollback(table => 'ns.t', version => $mark)").collect()(0)
+    assert(row.getLong(0) == mark && row.getLong(1) == t.latestVersion.get)
+    // diff-based: ONLY changed keys move — c1 reinserted + c2 restored as
+    // upserts, late-born c3 tombstoned; untouched keys write nothing
+    assert(row.getLong(2) == 2 && row.getLong(3) == 1, s"diff sizes: $row")
+    val state = spark.sql("SELECT conv_id, text FROM grb.ns.t ORDER BY conv_id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(state == Seq(("c1", "keep"), ("c2", "edit me")))
+    // the reversal IS change-feed visible (a metadata-only RESTORE wouldn't
+    // be): the rollback commit carries the delete + the two restores
+    val feed = t.changesSince(t.latestVersion.get - 1)
+    assert(feed.where(col("op") === "D").select("conv_id")
+      .collect().map(_.getString(0)).toSeq == Seq("c3"))
+    assert(feed.where(col("op") === "U").count() == 2)
+    // rolling back to the CURRENT version is a no-op, not a commit
+    val before = t.latestVersion.get
+    spark.sql(s"CALL grb.system.rollback(table => 'ns.t', version => $before)").collect()
+    assert(t.latestVersion.get == before)
+    // post-mark additive column: a row differing ONLY in it still rolls back
+    spark.sql("ALTER TABLE grb.ns.t ADD COLUMN note STRING")
+    spark.sql("INSERT INTO grb.ns.t VALUES ('c1', 0, 'keep', 'annotated')")
+    spark.sql(s"CALL grb.system.rollback(table => 'ns.t', version => $mark)").collect()
+    val afterEvo = spark.sql("SELECT conv_id, text, note FROM grb.ns.t ORDER BY conv_id")
+      .collect().map(r => (r.getString(0), r.getString(1), r.isNullAt(2))).toSeq
+    assert(afterEvo == Seq(("c1", "keep", true), ("c2", "edit me", true)),
+      "schema keeps the evolved column; restored rows read null in it")
+    // history procedure: newest first, monotone commit times, rollback on top
+    val h = spark.sql("CALL grb.system.history(table => 'ns.t')").collect()
+    assert(h.map(_.getLong(0)).toSeq == h.map(_.getLong(0)).sortBy(-_).toSeq)
+    assert(h.head.getLong(0) == t.latestVersion.get)
+    val times = h.reverse.map(_.getAs[Long]("commit_time_ms"))
+    assert(times.zip(times.tail).forall { case (a, b) => a < b },
+      "commit times strictly increase across versions")
+    // a rollback past retention / to a never-written version fails loudly
+    intercept[Exception] {
+      spark.sql("CALL grb.system.rollback(table => 'ns.t', version => 999)").collect()
+    }
+  }
+
+  test("MERGE deltas are clustered by the table's bucket function: O(buckets) files per epoch") {
+    val rootDir = Files.createTempDirectory("graft-dist").toString
+    spark.conf.set("spark.sql.catalog.gdist", classOf[graft.lake.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdist.root", rootDir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gdist.ns")
+    spark.sql("CREATE TABLE gdist.ns.t (conv_id STRING, turn_idx INT, text STRING) " +
+      "USING graftlake PARTITIONED BY (bucket(4, conv_id))")
+    spark.sql("INSERT INTO gdist.ns.t SELECT concat('c', id), 0, concat('v', id) FROM range(200)")
+    val t = LakeTable.open(spark, s"$rootDir/ns/t")
+    def nFiles = t.history().orderBy(col("version").desc)
+      .select("n_files").first().getLong(0)
+    val before = nFiles
+    // a deliberately many-partition source: WITHOUT the write's clustered
+    // distribution every write task opens a file per bucket it sees
+    // (~16 tasks × 4 buckets here); the declared bucket(n, conv_id)
+    // clustering shuffles the delta once so each bucket lands in ONE task
+    spark.range(200).selectExpr("concat('c', id) AS conv_id",
+      "0 AS turn_idx", "concat('w', id) AS new_text")
+      .repartition(16).createOrReplaceTempView("dist_src")
+    spark.sql("""MERGE INTO gdist.ns.t t USING dist_src s
+      ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+      WHEN MATCHED THEN UPDATE SET text = s.new_text""")
+    val added = nFiles - before
+    assert(added > 0 && added <= 4,
+      s"clustered row-level write must add at most one delta file per bucket, added $added")
+    assert(spark.sql("SELECT count(*) FROM gdist.ns.t WHERE text LIKE 'w%'")
+      .first().getLong(0) == 200, "clustering must not change MERGE semantics")
+  }
+
   test("TIMESTAMP AS OF resolves the latest snapshot committed at or before it") {
     val rootDir = Files.createTempDirectory("graft-tsasof").toString
     spark.conf.set("spark.sql.catalog.gts", classOf[graft.lake.GraftCatalog].getName)
