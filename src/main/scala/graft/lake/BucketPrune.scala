@@ -5,8 +5,10 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.{
-  And, AttributeReference, EqualTo, Expression, In, InSet, Literal, Or}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+  And, AttributeReference, EqualNullSafe, EqualTo, Expression, In, InSet,
+  Literal, Or}
+import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{
   HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
@@ -133,34 +135,76 @@ object BucketPrune extends Rule[LogicalPlan] {
     }
   }
 
+  /** The relation with its file index pruned to `keys`' buckets, or None
+    * when nothing prunes (not a lake layout, unknown bucket count, or
+    * already pruned — the None keeps fixed-point batches convergent). */
+  private def pruneRelationTo(l: LogicalRelation, rel: HadoopFsRelation,
+                              keys: Set[String]): Option[LogicalRelation] = {
+    val files = rel.location.inputFiles
+    val ps = files.map(parse)
+    if (ps.isEmpty || !ps.forall(_.isDefined)) return None
+    val parsed = ps.map(_.get)
+    val roots = parsed.map(_._1).distinct
+    val nbs = roots.map(r => r -> numBucketsOf(r)).toMap
+    if (!nbs.values.forall(_.isDefined)) return None
+    val buckets =
+      roots.map(r => r -> keys.map(LakeTable.bucketOf(_, nbs(r).get))).toMap
+    val pruned = files.zip(parsed).collect {
+      case (file, (root, b)) if buckets(root).contains(b) => file
+    }
+    if (pruned.length >= files.length) None // convergent: second pass no-ops
+    else {
+      val paths = pruned.toIndexedSeq.map(new org.apache.hadoop.fs.Path(_))
+      val index = new InMemoryFileIndex(rel.sparkSession, paths,
+        Map.empty, Some(rel.dataSchema))
+      Some(l.copy(relation = rel.copy(location = index)(rel.sparkSession)))
+    }
+  }
+
+  /** Marks the MOR arbitration joins [[LakeTable.arbitrateDirty]] plans:
+    * an anti/semi join whose condition null-safe-equates `conv_id` to one
+    * of the engine's internal aliases. Scoped to those exact names so the
+    * cross-join propagation below can never misfire on a user's own join
+    * (where pruning one side by the other side's keys would be unsound —
+    * e.g. a self-join comparing different conversations). */
+  private def isArbitrationBridge(cond: Expression): Boolean = cond.exists {
+    case EqualNullSafe(a: AttributeReference, b: AttributeReference) =>
+      Set(a.name, b.name).contains("conv_id") &&
+        (Set(a.name, b.name) - "conv_id")
+          .subsetOf(Set("__d_conv_id", "__b_conv_id"))
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
     case f @ Filter(cond, l @ LogicalRelation(rel: HadoopFsRelation, _, _, _, _)) =>
-      val rewritten = for {
+      (for {
         keys <- requiredKeys(cond)
-        files = rel.location.inputFiles
-        parsed <- {
-          val ps = files.map(parse)
-          if (ps.nonEmpty && ps.forall(_.isDefined)) Some(ps.map(_.get)) else None
-        }
-        roots = parsed.map(_._1).distinct
-        buckets <- {
-          val nbs = roots.map(r => r -> numBucketsOf(r)).toMap
-          if (nbs.values.forall(_.isDefined))
-            Some(roots.map(r =>
-              r -> keys.map(LakeTable.bucketOf(_, nbs(r).get))).toMap)
-          else None
-        }
-        pruned = files.zip(parsed).collect {
-          case (file, (root, b)) if buckets(root).contains(b) => file
-        }
-        if pruned.length < files.length // convergent: second pass is a no-op
-      } yield {
-        val paths = pruned.toIndexedSeq.map(new org.apache.hadoop.fs.Path(_))
-        val index = new InMemoryFileIndex(rel.sparkSession, paths,
-          Map.empty, Some(rel.dataSchema))
-        f.copy(child = l.copy(relation = rel.copy(location = index)(rel.sparkSession)))
+        nl <- pruneRelationTo(l, rel, keys)
+      } yield f.copy(child = nl)).getOrElse(f)
+
+    // The MOR arbitration joins: by the time this batch runs, Catalyst has
+    // pushed the user's conv_id filter into the join's LEFT (streamed)
+    // subtree, but the BROADCAST side — the delta key/lsn aggregate, the
+    // winners window, the beaten-key scan — gets nothing pushed across an
+    // anti/semi join. The bridge condition equates conv_id across the two
+    // sides, and keys are bucket-routed, so a right-side file in a bucket
+    // none of the demanded keys hash to can never influence a surviving
+    // row: prune every lake relation in the right subtree to those
+    // buckets. Keyed point reads on a DIRTY table then stay one-bucket
+    // reads, exactly as they were under the pre-broadcast window shape.
+    case j @ Join(left, right, jt, Some(cond), _)
+        if (jt == LeftAnti || jt == LeftSemi) && isArbitrationBridge(cond) =>
+      val keys = left.collect { case Filter(c, _) => requiredKeys(c) }
+        .flatten.reduceOption(_ union _)
+      keys match {
+        case None => j
+        case Some(ks) =>
+          val newRight = right transform {
+            case l @ LogicalRelation(rel: HadoopFsRelation, _, _, _, _) =>
+              pruneRelationTo(l, rel, ks).getOrElse(l)
+          }
+          if (newRight fastEquals right) j else j.copy(right = newRight)
       }
-      rewritten.getOrElse(f)
   }
 }
 

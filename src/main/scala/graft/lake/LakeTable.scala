@@ -455,6 +455,91 @@ final class LakeTable(val spark: SparkSession, val path: String,
         payload.fieldNames.filterNot(keyCols.contains)).map(col).toIndexedSeq: _*)
   }
 
+  /** Arbitrated state (op + payload + _lsn) of DIRTY buckets without
+    * shuffling a single base byte — the shape that decides whether a
+    * steady-ingest table is readable at 100 TB. The window form
+    * ([[arbitrate]] over base ∪ deltas) shuffles and sorts EVERY base row
+    * of every dirty bucket per read; under continuous ingest most buckets
+    * carry some delta, so a live read of a 10 TB table with 1 GB of fresh
+    * deltas shuffles ~10 TB. Deltas, by construction (compaction keeps
+    * them bounded), are the small side — so arbitration is reshaped around
+    * broadcasting THEM:
+    *
+    *  1. winners   = window over delta rows only (shuffle O(deltas)), and
+    *     delta max-lsn per key as a broadcastable aggregate;
+    *  2. base side = full-width base scan LEFT ANTI broadcast(delta
+    *     key+lsn) on null-safe keys with `delta_lsn >= base_lsn` in the
+    *     condition: a base row survives unless a delta carries its key at
+    *     an equal-or-higher lsn. The COMPARISON matters — lsns arbitrate,
+    *     not commit order, so a late-committed lower-lsn delta must lose
+    *     to the compacted row. Base stays in whole-stage codegen straight
+    *     off the parquet scan — no exchange. (A single full_outer join
+    *     would fold everything in, but Spark plans full-outer broadcast
+    *     joins as sort-merge — verified — silently reintroducing the base
+    *     shuffle; and emitting winner columns from a left_outer would
+    *     re-plan the winners window once per reference.)
+    *  3. delta side = ALL winner rows except those beaten by a strictly
+    *     higher-lsn base row. Beaten keys come off a key+lsn-only base
+    *     scan (parquet pruning: three columns, a few % of the bytes) LEFT
+    *     SEMI broadcast(delta key+lsn) with `base_lsn > delta_lsn` — an
+    *     O(|winners|)-row output — then a tiny broadcast anti join drops
+    *     them from winners. Again no exchange against base.
+    *
+    * Two base scans (one full-width, one three-column) buy zero base-side
+    * shuffle; on an object store the second scan's pruned read is noise
+    * next to the exchange it replaces. Ties on `_lsn` keep the delta row —
+    * by the engine's invariant (see [[arbitrate]]) ties are byte-identical
+    * rows, so either choice is the same row.
+    *
+    * Falls back to the window form when the manifest cannot PROVE the
+    * deltas are broadcastable: any delta file without commit-time byte
+    * stats (legacy), or total delta bytes over
+    * `spark.graft.mor.deltaBroadcastBytes` (default 32 MB of parquet —
+    * roughly 100–150 MB in-memory). The fallback is the proven
+    * one-shuffle sort shape, never an OOM-prone forced broadcast.
+    */
+  private def arbitrateDirty(s: Snapshot, dirty: Seq[BucketState],
+                             fSchema: StructType): DataFrame = {
+    val payload = s.schema
+    val outCols = (Seq("conv_id", "turn_idx", "op", "_lsn") ++
+      payload.fieldNames.filterNot(keyCols.contains)).toIndexedSeq
+    val deltaFiles = dirty.flatMap(_.deltas)
+    val baseFiles = dirty.flatMap(b => b.base ++ b.tombs.getOrElse(Nil))
+    val deltaBytes = deltaFiles.foldLeft(Option(0L)) { (acc, f) =>
+      for { a <- acc; st <- s.fileStats.get(f); b <- st.bytes } yield a + b
+    }
+    val threshold = spark.conf
+      .get("spark.graft.mor.deltaBroadcastBytes", (32L * 1024 * 1024).toString)
+      .toLong
+    if (!deltaBytes.exists(_ <= threshold))
+      return arbitrate(scanFiles(dirty.flatMap(_.allFiles), fSchema), payload)
+    val winners = arbitrate(scanFiles(deltaFiles, fSchema), payload)
+    if (baseFiles.isEmpty) return winners // never-compacted buckets
+    // delta max-lsn per key as an AGGREGATE, not a second window: it is
+    // referenced twice below, and a partial-aggregated groupBy over the
+    // small delta side re-plans cheaply where a window would not
+    val wKeyLsn = scanFiles(deltaFiles, fSchema)
+      .groupBy(keyCols.map(col): _*).agg(max(col("_lsn")).as("__d__lsn"))
+      .select((keyCols.map(c => col(c).as(s"__d_$c")) :+ col("__d__lsn")): _*)
+    // null-safe: the window groups null keys together, the joins must too
+    val keyMatch = keyCols.map(k => col(k) <=> col(s"__d_$k")).reduce(_ && _)
+    // base rows survive unless a delta carries the key at an >= lsn
+    // (ties are byte-identical rows — either side is the same row)
+    val part1 = scanFiles(baseFiles, fSchema).select(outCols.map(col): _*)
+      .join(broadcast(wKeyLsn),
+        keyMatch && col("__d__lsn") >= col("_lsn"), "left_anti")
+    // winners lose only to a base row with a strictly higher lsn; find
+    // those keys off a key+lsn-only base scan (parquet-pruned to 3 cols)
+    val beaten = scanFiles(baseFiles, fSchema)
+      .select((keyCols :+ "_lsn").map(col): _*)
+      .join(broadcast(wKeyLsn),
+        keyMatch && col("_lsn") > col("__d__lsn"), "left_semi")
+      .select(keyCols.map(c => col(c).as(s"__b_$c")): _*)
+    val beatMatch = keyCols.map(k => col(k) <=> col(s"__b_$k")).reduce(_ && _)
+    val winnersOut = winners.join(broadcast(beaten), beatMatch, "left_anti")
+    part1.unionByName(winnersOut)
+  }
+
   /** Current live state (payload columns only). */
   def read(): DataFrame = readWithLsn().drop("_lsn")
 
@@ -568,9 +653,7 @@ final class LakeTable(val spark: SparkSession, val path: String,
     val cleanPart = scanFiles(clean.flatMap(_.base), schema).select(outCols: _*)
     val dirtyPart =
       if (dirty.isEmpty) None
-      else Some(arbitrate(
-        scanFiles(dirty.flatMap(_.allFiles), schema),
-        s.schema))
+      else Some(arbitrateDirty(s, dirty, schema))
     dirtyPart.fold(cleanPart)(cleanPart.unionByName(_))
   }
 
@@ -603,7 +686,7 @@ final class LakeTable(val spark: SparkSession, val path: String,
       val cleanPart = scanFiles(cleanFiles, schema).select(outCols: _*)
       val dirtyPart =
         if (dirty.isEmpty) None
-        else Some(arbitrate(scanFiles(dirty.flatMap(_.allFiles), schema), s.schema))
+        else Some(arbitrateDirty(s, dirty, schema))
       dirtyPart.fold(cleanPart)(cleanPart.unionByName(_))
         .where(col("op") =!= "D" &&
           unix_micros(col("ts")).between(loTsMicros, hiTsMicros))

@@ -129,7 +129,7 @@ class LakeTableSpec extends AnyFunSuite {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }
 
-  test("per-bucket MOR: a single dirty bucket plans one window scoped to it") {
+  test("per-bucket MOR: dirty read windows ONLY the deltas; base broadcast-joins, never shuffles") {
     import org.apache.spark.sql.catalyst.plans.logical.{Union, Window => LWindow}
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     val t = freshTable(buckets = 8)
@@ -140,24 +140,84 @@ class LakeTableSpec extends AnyFunSuite {
     val r = t.merge(one, "t", 2)
     assert(r.touchedBuckets == 1)
     val snap = t.currentSnapshot.get
-    val dirtyFiles = snap.buckets.values.filter(_.deltas.nonEmpty)
-      .flatMap(_.allFiles).toSet
-    assert(dirtyFiles.nonEmpty)
+    val deltaFiles = snap.buckets.values.flatMap(_.deltas).toSet
+    assert(deltaFiles.nonEmpty)
     val lp = t.read().queryExecution.optimizedPlan
     val windows = lp.collect { case w: LWindow => w }
     assert(windows.size == 1, "exactly one arbitration window")
     assert(lp.collect { case u: Union => u }.nonEmpty, "clean ∪ dirty union")
-    // the window subtree scans ONLY the dirty bucket's files
+    // the ONLY shuffled+sorted rows are the DELTA rows: the window subtree
+    // scans exactly the delta files — base bytes reach the result through a
+    // broadcast join, with zero exchange (the 100 TB steady-ingest shape)
     val windowFiles = windows.head.collect {
       case LogicalRelation(rel: HadoopFsRelation, _, _, _, _) => rel.location.inputFiles.toSeq
     }.flatten.map(f => f.substring(f.indexOf("data/"))).toSet
-    assert(windowFiles == dirtyFiles)
+    assert(windowFiles == deltaFiles,
+      s"window must cover ONLY delta files, saw ${windowFiles.size} vs ${deltaFiles.size}")
+    val pp = t.read().queryExecution.executedPlan.toString
+    assert(pp.contains("BroadcastHashJoin"), "base arbitration is a broadcast join")
+    assert(!pp.contains("SortMergeJoin"), "no base-side shuffle join")
     // and correctness is unchanged
     val expect = TranscriptWal.expectedState(
       TranscriptWal.synthetic(spark, 800, 20).unionAll(one))
       .select("conv_id", "turn_idx", "text")
     val got = t.read().select("conv_id", "turn_idx", "text")
     assert(got.exceptAll(expect).count() == 0 && expect.exceptAll(got).count() == 0)
+  }
+
+  test("MOR broadcast arbitration ≡ window arbitration (fallback) across update/delete/new-key/evolution") {
+    val t = freshTable(buckets = 4)
+    val wal = TranscriptWal.synthetic(spark, 400, 10).cache()
+    t.merge(wal, "t", 1)
+    t.compactAll()
+    // updates to existing keys + deletes + BRAND-NEW keys, all as deltas
+    val updates = wal.where($"turn_idx" === 1)
+      .withColumn("lsn", $"lsn" + 500000L)
+      .withColumn("text", concat(lit("edited:"), $"text"))
+    val deletes = wal.where($"turn_idx" === 2)
+      .withColumn("lsn", $"lsn" + 600000L).withColumn("op", lit("D"))
+    val newKeys = wal.where($"turn_idx" === 0)
+      .withColumn("conv_id", concat(lit("new_"), $"conv_id"))
+      .withColumn("lsn", $"lsn" + 700000L)
+    t.merge(updates.unionByName(deletes).unionByName(newKeys), "t", 2)
+    // additive evolution mid-stream: a delta carrying a column bases lack
+    val evolved = wal.where($"turn_idx" === 3)
+      .withColumn("lsn", $"lsn" + 800000L)
+      .withColumn("review", concat(lit("r:"), $"conv_id"))
+    t.merge(evolved, "t", 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("conv_id", "turn_idx", "text", "review")
+    val joined = rows(t.read()).collect().toSet
+    assert(joined.nonEmpty)
+    // threshold 0 forces the proven window fallback — results must be identical
+    spark.conf.set("spark.graft.mor.deltaBroadcastBytes", "0")
+    try {
+      val pp = t.read().queryExecution.executedPlan.toString
+      assert(!pp.contains("BroadcastHashJoin"), "fallback must not broadcast")
+      assert(rows(t.read()).collect().toSet == joined)
+    } finally spark.conf.unset("spark.graft.mor.deltaBroadcastBytes")
+    // new keys actually came through the anti-join leg
+    assert(t.read().where($"conv_id".startsWith("new_")).count() > 0)
+    wal.unpersist()
+  }
+
+  test("MOR arbitration: a LATER-COMMITTED delta with a LOWER lsn loses to the compacted row") {
+    // lsns arbitrate, not commit order: two sources writing the same key
+    // resolve by lsn even when the lower-lsn write commits later — the
+    // broadcast pick must COMPARE lsns, never blanket-prefer the delta
+    val t = freshTable(buckets = 2)
+    val row = Seq(("c1", 0, "assistant", "winner", null: String, 100L))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "lsn")
+      .withColumn("op", lit("U"))
+      .withColumn("commit_ts", timestamp_micros(lit(1000L)))
+    t.merge(row, "a", 1)
+    t.compactAll() // lsn=100 row is now the BASE
+    val late = row.withColumn("lsn", lit(50L)).withColumn("text", lit("loser"))
+    t.merge(late, "b", 1) // other namespace, later commit, LOWER lsn
+    assert(t.currentSnapshot.get.buckets.values.exists(_.deltas.nonEmpty))
+    val got = t.read().where($"conv_id" === "c1").select("text")
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("winner"), s"base lsn=100 must beat delta lsn=50, got $got")
   }
 
   test("compaction cadence counts delta EPOCHS, not salted files") {
@@ -450,6 +510,16 @@ class LakeTableSpec extends AnyFunSuite {
     val expect2 = Set("c3", "c7").map(LakeTable.bucketOf(_, 8))
       .flatMap(b => t.currentSnapshot.get.buckets(b).allFiles)
     assert(scannedFiles(q2) == expect2)
+    // keyed lookup on the DIRTY key: the broadcast arbitration sides (delta
+    // aggregate/window, beaten-key scan) prune too — still a ONE-bucket read
+    val qd = t.read().where($"conv_id" === "c7")
+    val dirtyBucket = LakeTable.bucketOf("c7", 8)
+    assert(scannedFiles(qd) ==
+      t.currentSnapshot.get.buckets(dirtyBucket).allFiles.toSet,
+      "dirty-key lookup must stay a one-bucket read under the join shape")
+    val viaFilterD = qd.collect().map(_.toString).sorted.toSeq
+    val viaApiD = t.readConv("c7").collect().map(_.toString).sorted.toSeq
+    assert(viaFilterD == viaApiD && viaFilterD.nonEmpty)
     // correctness unchanged vs. the unpruned plan and the bespoke API
     val viaFilter = q.collect().map(_.toString).sorted.toSeq
     val viaApi = t.readConv("c3").collect().map(_.toString).sorted.toSeq
