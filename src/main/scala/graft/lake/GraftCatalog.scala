@@ -74,7 +74,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier): Table = {
     val dir = dirOf(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
-    new GraftLakeV2Table(spark, dir.toString, None, None)
+    new GraftLakeV2Table(spark, dir.toString, None, None, viaCatalog = true)
   }
 
   /** `SELECT … FROM graft.ns.t VERSION AS OF v` — SQL time travel straight
@@ -88,7 +88,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val v = version.trim.toLongOption.getOrElse(throw new IllegalArgumentException(
       s"VERSION AS OF for a graftlake table must be a numeric snapshot " +
         s"version; got '$version'"))
-    new GraftLakeV2Table(spark, dir.toString, Some(v), None)
+    new GraftLakeV2Table(spark, dir.toString, Some(v), None, viaCatalog = true)
   }
 
   /** `SELECT … FROM graft.ns.t TIMESTAMP AS OF '…'` — Spark hands the
@@ -101,7 +101,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!isTable(dir)) throw new NoSuchTableException(ident)
     val t = LakeTable.open(spark, dir.toString)
     val v = t.versionAsOfTimestamp(Math.floorDiv(timestampMicros, 1000L))
-    new GraftLakeV2Table(spark, dir.toString, Some(v), None)
+    new GraftLakeV2Table(spark, dir.toString, Some(v), None, viaCatalog = true)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -141,7 +141,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], envelope)
     t.merge(empty, "create-table", 0L)
-    new GraftLakeV2Table(spark, dir.toString, None, None)
+    new GraftLakeV2Table(spark, dir.toString, None, None, viaCatalog = true)
   }
 
   /** `ALTER TABLE … ADD COLUMN(S)` — additive only, realized as an empty
@@ -164,7 +164,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"graftlake supports only additive ALTER TABLE ADD COLUMN(S); got $other")
     }
     LakeTable.open(spark, dir.toString).evolveSchema(adds)
-    new GraftLakeV2Table(spark, dir.toString, None, None)
+    new GraftLakeV2Table(spark, dir.toString, None, None, viaCatalog = true)
   }
 
   override def dropTable(ident: Identifier): Boolean = {

@@ -91,7 +91,15 @@ final class GraftLakeV2Table(spark: SparkSession, path: String,
                                * option): streaming relations see no Catalyst
                                * column pruning, so the narrowing happens in
                                * the declared feed schema itself. */
-                             selectCols: Option[Seq[String]] = None)
+                             selectCols: Option[Seq[String]] = None,
+                             /** true when loaded through [[GraftCatalog]]:
+                               * only then can a declared write distribution
+                               * name the catalog's `bucket` function —
+                               * path-based relations have no FunctionCatalog
+                               * to resolve the transform against, and a
+                               * distribution they cannot resolve would fail
+                               * the whole write at analysis. */
+                             viaCatalog: Boolean = false)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
@@ -230,6 +238,27 @@ final class GraftLakeV2Table(spark: SparkSession, path: String,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(asOfVersion.isEmpty && changesSince.isEmpty,
       "cannot write through a time-travel or change-feed relation")
+    // STREAMING writes pre-shuffle each micro-batch by the table's own
+    // `bucket(n, conv_id)` so all rows of one bucket land in ONE task:
+    // O(touched buckets) delta files per epoch instead of O(tasks ×
+    // buckets) — at cluster scale the difference between a bounded
+    // manifest and a file explosion compaction has to mop up. Costs one
+    // O(batch) hash shuffle per trigger, the trade [[LakeTable.merge]]
+    // makes explicitly. Spark consults the distribution on the WRITE for
+    // batch AppendData AND micro-batch alike (V2Writes.prepareQuery), so
+    // the declaration must be streaming-scoped: batch INSERTs route into
+    // appendAsUpserts/merge, which repartition themselves — a declared
+    // distribution there would just add a redundant exchange. A streaming
+    // write is recognized by its `checkpointLocation` option (always
+    // present for an exactly-once sink); the `clusterWrite` option
+    // overrides either way. Catalog-backed relations only: a path-based
+    // relation has no FunctionCatalog to resolve the bucket transform
+    // against, and an unresolvable distribution fails the write at
+    // analysis — those keep per-task writers (correct, just more files;
+    // route high-fan-in streams through the catalog).
+    val clusterByBucket = viaCatalog &&
+      Option(info.options.get("clusterWrite")).map(_.toBoolean)
+        .getOrElse(info.options.containsKey("checkpointLocation"))
     new WriteBuilder
         with org.apache.spark.sql.connector.write.SupportsTruncate {
       // `INSERT OVERWRITE` arrives as truncate()+append on ONE builder; the
@@ -238,7 +267,19 @@ final class GraftLakeV2Table(spark: SparkSession, path: String,
       // Spark's V1 fallback writers do not re-signal overwrite at insert().
       private var replace = false
       override def truncate(): WriteBuilder = { replace = true; this }
-      override def build(): Write = new V1Write {
+      override def build(): Write = new V1Write
+          with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+        override def requiredDistribution()
+            : org.apache.spark.sql.connector.distributions.Distribution =
+          if (clusterByBucket)
+            org.apache.spark.sql.connector.distributions.Distributions.clustered(
+              Array(org.apache.spark.sql.connector.expressions.Expressions
+                .bucket(LakeTable.open(spark, path).tableNumBuckets, "conv_id")))
+          else
+            org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+        override def requiredOrdering()
+            : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+          Array.empty
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, overwrite: Boolean): Unit = {
@@ -249,7 +290,8 @@ final class GraftLakeV2Table(spark: SparkSession, path: String,
           }
         /** `writeStream.format("graftlake")`: every micro-batch is one
           * idempotent merge epoch, written executor-side
-          * ([[GraftStreamingWrite]]).
+          * ([[GraftStreamingWrite]]). Catalog-backed streams additionally
+          * pre-shuffle by bucket (see `clusterByBucket` above).
           */
         override def toStreaming
             : org.apache.spark.sql.connector.write.streaming.StreamingWrite =

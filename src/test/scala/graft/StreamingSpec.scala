@@ -561,6 +561,38 @@ class StreamingSpec extends AnyFunSuite {
     wal.unpersist()
   }
 
+  test("catalog-backed streaming SINK clusters by bucket: O(buckets) delta files per epoch") {
+    import org.apache.spark.sql.streaming.Trigger
+    val work = Files.createTempDirectory("sink-dist").toString
+    spark.conf.set("spark.sql.catalog.gsink", classOf[graft.lake.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsink.root", s"$work/lake")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gsink.ns")
+    spark.sql("CREATE TABLE gsink.ns.t (conv_id STRING, turn_idx INT, text STRING) " +
+      "USING graftlake PARTITIONED BY (bucket(4, conv_id))")
+    val src = new LakeTable(spark, s"$work/src", numBuckets = 4)
+    val wal = TranscriptWal.synthetic(spark, 400, 50).cache()
+    src.merge(wal, "t", 1)
+    // a deliberately many-partition stream: WITHOUT the write's declared
+    // bucket clustering every task writes a file per bucket it sees
+    // (~16 tasks × 4 buckets); the catalog-resolved bucket(4, conv_id)
+    // distribution shuffles the batch once so each bucket lands in ONE task
+    val q = spark.readStream.format("graftlake")
+      .option("path", src.path).option("startingVersion", "0").load()
+      .select("conv_id", "turn_idx", "text")
+      .repartition(16)
+      .writeStream
+      .option("checkpointLocation", s"$work/cp")
+      .trigger(Trigger.AvailableNow()).toTable("gsink.ns.t")
+    q.awaitTermination()
+    val t = LakeTable.open(spark, s"$work/lake/ns/t")
+    val deltas = t.currentSnapshot.get.buckets.values.map(_.deltas.size).sum
+    assert(deltas > 0 && deltas <= 4,
+      s"clustered streaming write must land ≤1 delta file per bucket per epoch, got $deltas")
+    assert(t.read().count() == src.read().count(),
+      "clustering must not change sink semantics")
+    wal.unpersist()
+  }
+
   test("DSv2 streaming SINK: lake→lake via writeStream.format, restart no-dup") {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types._
