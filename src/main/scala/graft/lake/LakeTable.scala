@@ -1587,7 +1587,16 @@ final class LakeTable(val spark: SparkSession, val path: String,
     // files; __dead is only the router.
     forWrite(compacted.withColumn("b", bucketExpr)
       .withColumn("__dead", col("op") === "D")
-      .repartition(math.min(targets.size, width), col("b")))
+      .repartition(math.min(targets.size, width), col("b"))
+      // KEY-SORTED bases: rows land ordered by (conv_id, turn_idx) inside
+      // each compacted file, so the parquet writer's row-group AND
+      // column-index (page-level) min/max stats on conv_id become tight —
+      // a pushed conv_id equality then prunes INSIDE the bucket, reading a
+      // conversation's pages instead of the whole bucket's base (at scale:
+      // KBs from a multi-GB bucket). Leading (b, __dead) also satisfies the
+      // partitioned writer's required ordering, so this one in-task sort
+      // replaces the sort the writer would otherwise insert itself.
+      .sortWithinPartitions("b", "__dead", "conv_id", "turn_idx"))
       .write.mode("overwrite").option("compression", compression)
       .partitionBy("b", "__dead").parquet(s"$path/$rel")
     val newFiles = listSplitBucketFiles(rel, targets)

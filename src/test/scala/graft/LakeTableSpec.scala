@@ -220,6 +220,23 @@ class LakeTableSpec extends AnyFunSuite {
     assert(got == Seq("winner"), s"base lsn=100 must beat delta lsn=50, got $got")
   }
 
+  test("compacted bases are KEY-SORTED inside each file (row-group/page pruning contract)") {
+    val t = freshTable(buckets = 2)
+    t.merge(TranscriptWal.synthetic(spark, 2000, 40), "t", 1)
+    t.compactAll()
+    val base = t.currentSnapshot.get.buckets.values.flatMap(_.base)
+    assert(base.nonEmpty)
+    base.foreach { f =>
+      // one small file = one scan partition: collect preserves file order
+      val rows = spark.read.parquet(s"${t.path}/$f")
+        .select("conv_id", "turn_idx").collect()
+        .map(r => (r.getString(0), r.getInt(1))).toSeq
+      assert(rows == rows.sorted,
+        s"base file $f must be (conv_id, turn_idx)-sorted so parquet " +
+          "row-group and column-index stats prune keyed reads inside a bucket")
+    }
+  }
+
   test("compaction cadence counts delta EPOCHS, not salted files") {
     // AQE off so the salted write really lands multiple files per bucket per
     // epoch (AQE coalesces these tiny test batches to one partition).
