@@ -1256,8 +1256,17 @@ final class LakeTable(val spark: SparkSession, val path: String,
     *
     * Diff-based: only keys whose full live row differs from the target
     * version's move — re-inserts/updates as upserts, keys born after
-    * `version` as tombstones. Write cost O(diff), compare cost one
-    * two-sided exceptAll over the two arbitrated states. Columns added
+    * `version` as tombstones. Write cost O(diff). Compare cost is bounded
+    * by the CHANGE FEED, not the table: every key that can differ between
+    * the two states appears in some change row of `(version, head]`, and
+    * the cumulative-event delta since the mark (snapshot metrics — a
+    * metadata subtraction) bounds how many there are. When that churn fits
+    * `spark.graft.rollback.touchedKeysCap` (default 2M keys), both diff
+    * sides are first semi-joined down to the broadcast touched-key set, so
+    * the two-sided exceptAll runs over O(churn) rows and — with the
+    * broadcast merge-on-read shape — the whole rollback plans without a
+    * full-table exchange. Larger churn (or a legacy table without event
+    * metrics) falls back to the full two-sided diff. Columns added
     * after `version` stay in the schema (evolution is additive) and read
     * null on restored rows — the value they had at `version`.
     * Map-typed payloads can't participate in set-difference; those tables
@@ -1293,12 +1302,28 @@ final class LakeTable(val spark: SparkSession, val path: String,
         case _ => false
       }
       val setOpsOk = !hasMap(current.schema)
-      val upserts = (if (setOpsOk) targetW.exceptAll(current) else targetW)
+      // Untouched keys are identical in both states by construction — the
+      // change feed names every key that could differ. Small churn ⇒
+      // restrict both sides to the broadcast touched-key set before
+      // diffing (see scaladoc).
+      val churn = prev.metrics.get("total_events")
+        .flatMap(head => snapshotAt(version).metrics.get("total_events")
+          .map(head - _))
+      val touchedCap = spark.conf
+        .get("spark.graft.rollback.touchedKeysCap", "2000000").toLong
+      val (targetD, currentD) =
+        if (churn.exists(c => c >= 0 && c <= touchedCap)) {
+          val touched = broadcast(changesBetween(version, prev.version)
+            .select(keyCols.map(col): _*).distinct())
+          (targetW.join(touched, keyCols, "left_semi"),
+            current.join(touched, keyCols, "left_semi"))
+        } else (targetW, current)
+      val upserts = (if (setOpsOk) targetD.exceptAll(currentD) else targetD)
         .withColumn("op", lit("U"))
         .withColumn("lsn", lit(lsn))
         .withColumn("commit_ts", timestamp_micros(lit(nowMicros)))
-      val deletes = current.select(keyCols.map(col): _*)
-        .exceptAll(targetW.select(keyCols.map(col): _*))
+      val deletes = currentD.select(keyCols.map(col): _*)
+        .exceptAll(targetD.select(keyCols.map(col): _*))
         .withColumn("op", lit("D"))
         .withColumn("lsn", lit(lsn))
         .withColumn("commit_ts", timestamp_micros(lit(nowMicros)))

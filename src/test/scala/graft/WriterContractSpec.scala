@@ -559,9 +559,14 @@ class WriterContractSpec extends AnyFunSuite {
     spark.sql(s"CALL grb.system.rollback(table => 'ns.t', version => $before)").collect()
     assert(t.latestVersion.get == before)
     // post-mark additive column: a row differing ONLY in it still rolls back
+    // — run under touchedKeysCap=0 so THIS rollback exercises the
+    // full-diff fallback (the earlier ones took the change-feed-bounded
+    // touched-key path); both must restore the identical state
     spark.sql("ALTER TABLE grb.ns.t ADD COLUMN note STRING")
     spark.sql("INSERT INTO grb.ns.t VALUES ('c1', 0, 'keep', 'annotated')")
-    spark.sql(s"CALL grb.system.rollback(table => 'ns.t', version => $mark)").collect()
+    spark.conf.set("spark.graft.rollback.touchedKeysCap", "0")
+    try spark.sql(s"CALL grb.system.rollback(table => 'ns.t', version => $mark)").collect()
+    finally spark.conf.unset("spark.graft.rollback.touchedKeysCap")
     val afterEvo = spark.sql("SELECT conv_id, text, note FROM grb.ns.t ORDER BY conv_id")
       .collect().map(r => (r.getString(0), r.getString(1), r.isNullAt(2))).toSeq
     assert(afterEvo == Seq(("c1", "keep", true), ("c2", "edit me", true)),
