@@ -92,6 +92,41 @@ class ReplayPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("broadcast MOR ≡ window MOR for ANY batch split + partial compaction (property)") {
+    // The round-6 read-path rework (deltas windowed + base broadcast-joined,
+    // LakeTable.arbitrateDirty) must be observationally identical to the
+    // window-over-everything shape on ANY interleaving of merges and partial
+    // compactions — including out-of-order lsns, deletes, duplicate
+    // revisions, and buckets in every state (clean / dirty / never
+    // compacted). The fallback conf flips the implementation under the SAME
+    // physical table, so any divergence is the join shape's fault alone.
+    val cutsGen = Gen.listOfN(3, Gen.choose(0L, 400L))
+    (1L to 5L).foreach { seed =>
+      val cuts = sample(cutsGen, seed)
+      val t = new LakeTable(spark, Files.createTempDirectory("bmor").toString, 4)
+      val bounds = (Long.MinValue +: cuts.sorted :+ Long.MaxValue).distinct
+      bounds.sliding(2).zipWithIndex.foreach {
+        case (Seq(lo, hi), i) =>
+          // reversed-range application: later epochs carry LOWER lsns, so
+          // the broadcast pick's lsn comparison is genuinely exercised
+          val (l, h) = if (i % 2 == 0) (lo, hi)
+            else (bounds(bounds.length - 2 - i), bounds(bounds.length - 1 - i))
+          t.merge(walDf.where($"lsn" >= l && $"lsn" < h), "p", i.toLong)
+          if (i == 1) t.compactAll() // some buckets clean, later ones re-dirty
+        case _ =>
+      }
+      val broadcastState = t.readWithLsn()
+        .select("conv_id", "turn_idx", "text", "_lsn").collect().toSet
+      spark.conf.set("spark.graft.mor.deltaBroadcastBytes", "0")
+      try {
+        val windowState = t.readWithLsn()
+          .select("conv_id", "turn_idx", "text", "_lsn").collect().toSet
+        assert(broadcastState == windowState,
+          s"seed=$seed: broadcast and window arbitration diverged")
+      } finally spark.conf.unset("spark.graft.mor.deltaBroadcastBytes")
+    }
+  }
+
   test("manifest reconstruction is exact: a fresh reopen equals the writer's view (property)") {
     // The snapshot's bucket map now lives in a manifest LIST folded
     // later-wins-per-bucket through caches; this property pins that for
