@@ -165,7 +165,8 @@ object Main {
         println(s"""{"compacted":true,"version":${t.latestVersion.getOrElse(-1L)}}""")
       case "vacuum" =>
         val t = graft.lake.LakeTable.open(spark, req("table"))
-        val (snaps, files) = t.vacuum(a.getOrElse("keep", "2").toInt)
+        val (snaps, files) = t.vacuum(a.getOrElse("keep", "2").toInt,
+          retainAgeMs = a.get("retain-age-ms").map(_.toLong))
         println(s"""{"snapshotsDeleted":$snaps,"dataFilesDeleted":$files}""")
       case "rebucket" =>
         val t = graft.lake.LakeTable.open(spark, req("table"))

@@ -285,10 +285,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         .comment("trailing snapshots whose files stay present").build(),
       ProcedureParameter.in("grace_ms", LongType).defaultValue("0")
         .comment("protect files/dirs younger than this (cover the longest " +
-          "concurrent op)").build())
+          "concurrent op)").build(),
+      ProcedureParameter.in("retain_age_ms", LongType).defaultValue("-1")
+        .comment("also keep every snapshot committed within this many ms " +
+          "of now (-1 = count-only retention)").build())
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val t = tableForProc(input.getString(0))
-      val (snaps, files) = t.vacuum(input.getInt(1), input.getLong(2))
+      val (snaps, files) = t.vacuum(input.getInt(1), input.getLong(2),
+        Some(input.getLong(3)).filter(_ >= 0L))
       resultScan(StructType(Seq(
         org.apache.spark.sql.types.StructField("snapshots_deleted", IntegerType),
         org.apache.spark.sql.types.StructField("data_files_deleted", IntegerType))),

@@ -1849,7 +1849,8 @@ final class LakeTable(val spark: SparkSession, val path: String,
     *
     * @return (snapshotsDeleted, dataFilesDeleted)
     */
-  def vacuum(keepSnapshots: Int = 2, inFlightGraceMs: Long = 0L): (Int, Int) = latestVersion match {
+  def vacuum(keepSnapshots: Int = 2, inFlightGraceMs: Long = 0L,
+             retainAgeMs: Option[Long] = None): (Int, Int) = latestVersion match {
     case None => (0, 0)
     case Some(latest) =>
       // ONE listing drives everything below. Deriving the keep-set and the
@@ -1863,7 +1864,16 @@ final class LakeTable(val spark: SparkSession, val path: String,
         .filter(n => n.startsWith("v") && n.endsWith(".json"))
         .map(n => n.substring(1, n.length - 5).toLong)
         .sorted
-      val keepVersions = seenVersions.takeRight(math.max(1, keepSnapshots)).toSet
+      // Age-based retention composes with the count floor: keep the trailing
+      // `keepSnapshots` AND every version committed within `retainAgeMs` of
+      // now — the "time travel works for the last N days" contract. Commit
+      // times are monotone in version (nextCommitTimeMs), so the age set is
+      // a suffix; legacy snapshots without a recorded time read as 0 and
+      // never qualify by age (the count floor still protects them).
+      val ageFloor = retainAgeMs.map(System.currentTimeMillis() - _)
+      val keepVersions = (seenVersions.takeRight(math.max(1, keepSnapshots)) ++
+        ageFloor.fold(Seq.empty[Long])(floor =>
+          seenVersions.filter(v => commitTimeOf(v) >= floor))).toSet
       val keptSnapshots = keepVersions.map(readSnapshot)
       val referenced: Set[String] = keptSnapshots.flatMap { s =>
         s.buckets.values.flatMap(_.allFiles) ++ s.changeFiles.getOrElse(Nil)

@@ -714,6 +714,24 @@ class LakeTableSpec extends AnyFunSuite {
       "commit versions recovered from file paths for every commit")
   }
 
+  test("vacuum retains by AGE: retain_age_ms keeps recent snapshots beyond the count floor") {
+    val t = freshTable(buckets = 2)
+    val wal = TranscriptWal.synthetic(spark, 200, 4).cache()
+    (0 until 4).foreach(i =>
+      t.merge(wal.where($"lsn" % 4 === i), "t", i.toLong))
+    assert(t.latestVersion.get == 4L)
+    // keep=1, but all four versions committed within the hour: age wins
+    val (aged, _) = t.vacuum(keepSnapshots = 1, retainAgeMs = Some(3600L * 1000))
+    assert(aged == 0, "age retention must keep every recent snapshot")
+    assert(t.readAsOf(1).count() > 0, "v1 still time-travelable")
+    // without the age clause the count floor applies as before
+    val (counted, _) = t.vacuum(keepSnapshots = 1)
+    assert(counted == 3)
+    intercept[Exception] { t.readAsOf(1) }
+    assert(t.read().count() > 0)
+    wal.unpersist()
+  }
+
   test("vacuum never deletes an in-flight writer's files; lost racers age out") {
     val t = freshTable(buckets = 4)
     t.merge(TranscriptWal.synthetic(spark, 400, 8), "t", 1)

@@ -519,6 +519,10 @@ class WriterContractSpec extends AnyFunSuite {
       .collect()(0).getLong(0)
     assert(v == t.latestVersion.get, "compact returns the new version")
     assert(t.currentSnapshot.get.buckets.values.forall(_.deltas.isEmpty))
+    // age-based retention first: everything is recent, so nothing expires
+    val aged = spark.sql("CALL gproc.system.vacuum(table => 'ns.t', keep => 1, " +
+      "retain_age_ms => 3600000)").collect()(0)
+    assert(aged.getInt(0) == 0, s"recent snapshots survive age retention: $aged")
     val row = spark.sql("CALL gproc.system.vacuum(table => 'ns.t', keep => 1)")
       .collect()(0)
     assert(row.getInt(0) > 0 && row.getInt(1) > 0, s"vacuum reports work: $row")
