@@ -2,6 +2,8 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
+import graft.Bench
+
 /** The Bench query phase alone (same session shape), for iteration. */
 object BenchQueries {
   def main(args: Array[String]): Unit = {
@@ -12,6 +14,9 @@ object BenchQueries {
       .config("spark.sql.files.minPartitionNum", "64")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // tmpfs like Bench: the VM's virtio disk throttles unpredictably, and
+      // a disk-backed shuffle/spill measures the disk, not the query
+      .config("spark.local.dir", s"${Bench.benchRoot}/spark-local")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
