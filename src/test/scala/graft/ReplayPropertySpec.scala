@@ -127,6 +127,44 @@ class ReplayPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("rollback restores ANY earlier version; touched-path ≡ full-diff (property)") {
+    // Two identical tables built from the same deterministic epoch splits,
+    // rolled back to the same random mark — one through the change-feed-
+    // bounded touched-key path (default cap), one through the full
+    // two-sided diff (cap=0). Both must land exactly on the state readAsOf
+    // served at the mark BEFORE any rollback ran.
+    val cutsGen = Gen.listOfN(2, Gen.choose(0L, 400L))
+    (1L to 3L).foreach { seed =>
+      val cuts = sample(cutsGen, seed)
+      val bounds = (Long.MinValue +: cuts.sorted :+ Long.MaxValue).distinct
+      def build(): LakeTable = {
+        val t = new LakeTable(spark, Files.createTempDirectory("rb").toString, 4)
+        bounds.sliding(2).zipWithIndex.foreach {
+          case (Seq(lo, hi), i) =>
+            t.merge(walDf.where($"lsn" >= lo && $"lsn" < hi), "p", i.toLong)
+            if (i == 0) t.compactAll() // mark can fall on a compacted commit
+          case _ =>
+        }
+        t
+      }
+      val a = build()
+      val b = build()
+      assert(a.latestVersion == b.latestVersion)
+      val mark = 1L + (sample(Gen.choose(0L, 100L), seed + 77) %
+        a.latestVersion.get)
+      val expected = a.readAsOf(mark)
+        .select("conv_id", "turn_idx", "text").collect().toSet
+      a.rollbackTo(mark) // touched-key path (small churn, default cap)
+      spark.conf.set("spark.graft.rollback.touchedKeysCap", "0")
+      try b.rollbackTo(mark) // full two-sided diff
+      finally spark.conf.unset("spark.graft.rollback.touchedKeysCap")
+      val gotA = a.read().select("conv_id", "turn_idx", "text").collect().toSet
+      val gotB = b.read().select("conv_id", "turn_idx", "text").collect().toSet
+      assert(gotA == expected, s"seed=$seed mark=$mark: touched-path rollback diverged")
+      assert(gotB == expected, s"seed=$seed mark=$mark: full-diff rollback diverged")
+    }
+  }
+
   test("manifest reconstruction is exact: a fresh reopen equals the writer's view (property)") {
     // The snapshot's bucket map now lives in a manifest LIST folded
     // later-wins-per-bucket through caches; this property pins that for
