@@ -427,10 +427,28 @@ final class LakeTable(val spark: SparkSession, val path: String,
   private def scanFiles(files: Seq[String], schema: StructType): DataFrame =
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else
+    else {
       // Explicit schema: files written before an additive evolution lack the
       // new columns; Spark's parquet reader fills them with nulls.
-      spark.read.schema(schema).parquet(files.map(f => s"$path/$f"): _*)
+      //
+      // The paths handed to the reader are explicit FILES from the manifest
+      // (no directory discovery), so above
+      // `spark.sql.sources.parallelPartitionDiscovery.threshold` (default 32)
+      // Spark would launch a whole distributed LISTING JOB just to stat
+      // them — one job per relation, several relations per read plan. A
+      // driver-side stat of O(snapshot files) paths through the built-in
+      // listing thread pool is cheaper at every scale that fits a driver
+      // (the same reason manifest-backed table formats skip listing jobs);
+      // raise the threshold for the duration of relation resolution.
+      val key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+      val old = spark.conf.getOption(key)
+      spark.conf.set(key, "8192")
+      try spark.read.schema(schema).parquet(files.map(f => s"$path/$f"): _*)
+      finally old match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
 
   /** Arbitrate rows by key: max _lsn wins. Used by both the read
     * path (base ∪ deltas) and compaction. Input must carry op and _lsn.
@@ -1311,32 +1329,45 @@ final class LakeTable(val spark: SparkSession, val path: String,
           .map(head - _))
       val touchedCap = spark.conf
         .get("spark.graft.rollback.touchedKeysCap", "2000000").toLong
+      val churnBounded = churn.exists(c => c >= 0 && c <= touchedCap)
       val (targetD, currentD) =
-        if (churn.exists(c => c >= 0 && c <= touchedCap)) {
+        if (churnBounded) {
           val touched = broadcast(changesBetween(version, prev.version)
             .select(keyCols.map(col): _*).distinct())
-          (targetW.join(touched, keyCols, "left_semi"),
-            current.join(touched, keyCols, "left_semi"))
+          // Persist both pruned sides: each feeds BOTH exceptAll arms below,
+          // and without the cache the merge's one delta-write job executes
+          // FOUR full merge-on-read table scans (2 per arm) instead of two
+          // O(churn) cache reads (measured ~2× the whole rollback's write
+          // phase). Bounded by touchedCap rows — the small thing here.
+          (targetW.join(touched, keyCols, "left_semi")
+             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+            current.join(touched, keyCols, "left_semi")
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         } else (targetW, current)
-      val upserts = (if (setOpsOk) targetD.exceptAll(currentD) else targetD)
-        .withColumn("op", lit("U"))
-        .withColumn("lsn", lit(lsn))
-        .withColumn("commit_ts", timestamp_micros(lit(nowMicros)))
-      val deletes = currentD.select(keyCols.map(col): _*)
-        .exceptAll(targetD.select(keyCols.map(col): _*))
-        .withColumn("op", lit("D"))
-        .withColumn("lsn", lit(lsn))
-        .withColumn("commit_ts", timestamp_micros(lit(nowMicros)))
-      val batch = upserts.unionByName(deletes, allowMissingColumns = true)
-      val merged =
-        try Some(merge(batch, ns, epochId))
-        catch { case _: CommitConflictException => None }
-      merged match {
-        case Some(r) if r.applied => return r
-        case _ => // lost the CAS or a racer burned the id — re-read, retry
-          attempt += 1
-          if (attempt > maxRetries) throw new CommitConflictException(
-            s"rollbackTo at $path lost the commit race $attempt times")
+      try {
+        val upserts = (if (setOpsOk) targetD.exceptAll(currentD) else targetD)
+          .withColumn("op", lit("U"))
+          .withColumn("lsn", lit(lsn))
+          .withColumn("commit_ts", timestamp_micros(lit(nowMicros)))
+        val deletes = currentD.select(keyCols.map(col): _*)
+          .exceptAll(targetD.select(keyCols.map(col): _*))
+          .withColumn("op", lit("D"))
+          .withColumn("lsn", lit(lsn))
+          .withColumn("commit_ts", timestamp_micros(lit(nowMicros)))
+        val batch = upserts.unionByName(deletes, allowMissingColumns = true)
+        val merged =
+          try Some(merge(batch, ns, epochId))
+          catch { case _: CommitConflictException => None }
+        merged match {
+          case Some(r) if r.applied => return r
+          case _ => // lost the CAS or a racer burned the id — re-read, retry
+            attempt += 1
+            if (attempt > maxRetries) throw new CommitConflictException(
+              s"rollbackTo at $path lost the commit race $attempt times")
+        }
+      } finally if (churnBounded) {
+        targetD.unpersist(blocking = false)
+        currentD.unpersist(blocking = false)
       }
     }
     throw new IllegalStateException("unreachable")
@@ -1348,6 +1379,25 @@ final class LakeTable(val spark: SparkSession, val path: String,
       val t0 = System.nanoTime(); val r = f
       println(f"  [lake] $name%-16s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
       r
+    }
+
+  /** Salt actually applied to a delta write: the configured [[writeSalt]]
+    * when the batch's optimizer size estimate reaches
+    * `spark.graft.write.saltMinBytes` (default 64 MB), else 1. Estimates
+    * are conservative-by-default: an unavailable or absurd estimate keeps
+    * the salt ON (the safe side for skew — only a provably small batch
+    * drops it).
+    */
+  private def effectiveSalt(batch: DataFrame): Int =
+    if (writeSalt <= 1) writeSalt
+    else {
+      val minBytes = spark.conf
+        .get("spark.graft.write.saltMinBytes", (64L * 1024 * 1024).toString)
+        .toLong
+      val est =
+        try batch.queryExecution.optimizedPlan.stats.sizeInBytes
+        catch { case _: Throwable => BigInt(Long.MaxValue) }
+      if (est < minBytes) 1 else writeSalt
     }
 
   private def mergeUncommitted(batch: DataFrame, epochNs: String, epochId: Long,
@@ -1399,7 +1449,21 @@ final class LakeTable(val spark: SparkSession, val path: String,
       // Partition count comes from spark.sql.shuffle.partitions (sized to the
       // DATA, not the executor count — adding executors must not change the
       // plan, only the concurrency; AQE coalesces if the batch is small).
-      .repartition(col("b"), pmod(xxhash64(col("_lsn")), lit(writeSalt)))
+      //
+      // SIZE-ADAPTIVE SALT (r7): the lsn salt exists to fan a hot bucket's
+      // shuffle output across several writer tasks — a concern only when the
+      // per-bucket batch share is large. Below `spark.graft.write.saltMinBytes`
+      // (estimated from the optimizer's plan stats) the salt buys nothing and
+      // costs real money at BOTH ends: the partitioned writer opens
+      // (buckets × salt) parquet writers per epoch instead of (buckets), and
+      // every subsequent read pays per-file open/footer/listing for ~4× the
+      // files (guide §6: small files hurt twice). Unsalted small batches land
+      // exactly one file per touched bucket; large batches keep the skew
+      // armor unchanged.
+      .repartition(col("b") +:
+        (if (effectiveSalt(batch) > 1)
+           Seq(pmod(xxhash64(col("_lsn")), lit(writeSalt)))
+         else Nil): _*)
       .drop("__hw")
     phased("delta-write")(
       out.write.mode("overwrite").option("compression", compression)

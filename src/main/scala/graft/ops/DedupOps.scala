@@ -63,10 +63,34 @@ object DedupOps {
     // file would confine 32 cores' worth of hashing to 2 tasks. The count is
     // explicit because AQE coalesces column-only repartitions of small
     // inputs right back to one task.
+    minHashFromShingles(shingleFrame(df, idCol, textCol, shingleWidth), idCol, k)
+  }
+
+  /** (id, sh): per-doc distinct shingle-hash array, spread over
+    * `defaultParallelism` tasks. Repartition by id BEFORE the heavy
+    * projection: the per-doc cost (tokenize + shingle + hash) dwarfs one
+    * shuffle of the text, and without it the compute inherits the scan's
+    * split count — a small input file would confine 32 cores' worth of
+    * hashing to 2 tasks. Tokens are materialized in their OWN projection
+    * (TextOps.shinglesFromTokens perf contract): inlined, the lambda
+    * re-runs the regex split once per shingle window.
+    */
+  private[ops] def shingleFrame(df: DataFrame, idCol: String, textCol: String,
+                                shingleWidth: Int): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    val ex = df.select(col(idCol), col(textCol)).repartition(par, col(idCol))
+    df.select(col(idCol), col(textCol)).repartition(par, col(idCol))
+      .select(col(idCol), TextOps.tokens(lower(col(textCol))).as("__toks"))
       .select(col(idCol),
-        explode(TextOps.shingles(col(textCol), shingleWidth)).as("__s"))
+        TextOps.shinglesFromTokens(col("__toks"), shingleWidth).as("sh"))
+  }
+
+  /** MinHash signatures from a (id, sh) shingle frame. The frame is
+    * id-partitioned already, so the explode → k-min hash-aggregate runs
+    * WITHOUT an exchange (grouping key == partitioning key).
+    */
+  private[ops] def minHashFromShingles(shing: DataFrame, idCol: String,
+                                       k: Int): DataFrame = {
+    val ex = shing.select(col(idCol), explode(col("sh")).as("__s"))
     val mins = (0 until k).map(i => min(xxhash64(col("__s"), lit(i))).as(s"__m$i"))
     ex.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
       .select(col(idCol), array((0 until k).map(i => col(s"__m$i")): _*).as("minhash"))
@@ -98,10 +122,20 @@ object DedupOps {
   def lshCandidates(df: DataFrame, bands: Int = 8, idCol: String = "doc_id",
                     k: Int = 32, shingleWidth: Int = 3,
                     maxBandBucket: Int = 1000,
-                    prefilterAgree: Double = 0.0): DataFrame = {
+                    prefilterAgree: Double = 0.0): DataFrame =
+    lshCandidatesFromSigs(minHashSignatures(df, idCol, k, shingleWidth),
+      bands, idCol, k, maxBandBucket, prefilterAgree)
+
+  /** [[lshCandidates]] from a precomputed (id, minhash) signature frame —
+    * lets [[nearDuplicates]] share one shingle pass between candidate
+    * generation and exact verification.
+    */
+  private[ops] def lshCandidatesFromSigs(sigs: DataFrame, bands: Int,
+                                         idCol: String, k: Int,
+                                         maxBandBucket: Int,
+                                         prefilterAgree: Double): DataFrame = {
     require(k % bands == 0, s"bands=$bands must divide k=$k")
     val r = k / bands
-    val sigs = minHashSignatures(df, idCol, k, shingleWidth)
     // Persisted: one row per DISTINCT signature (32 longs + member ids) —
     // consumed by intra-pairs, banding and both expansion joins. Without it
     // each consumer re-runs the shingle+minhash aggregation over the corpus
@@ -176,9 +210,21 @@ object DedupOps {
     val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val needed = p.select(col("a_id").as(idCol))
       .unionAll(p.select(col("b_id").as(idCol))).distinct()
+    // Three perf rules learned by measurement (r7):
+    //  1. repartition before shingling — the semi-joined docs inherit the
+    //     scan's split count (often 1-2 row groups), which would confine the
+    //     whole corpus's shingling CPU to 2 tasks;
+    //  2. tokens in their own projection (shinglesFromTokens perf contract);
+    //  3. eager count BEFORE the two join arms — both arms' broadcast builds
+    //     otherwise race to compute the un-materialized cache entry and the
+    //     shingling runs twice concurrently.
+    val par = df.sparkSession.sparkContext.defaultParallelism
     val sh = df.join(needed, Seq(idCol), "left_semi")
-      .select(col(idCol), TextOps.shingles(col(textCol), shingleWidth).as("sh"))
+      .repartition(par, col(idCol))
+      .select(col(idCol), TextOps.tokens(lower(col(textCol))).as("__toks"))
+      .select(col(idCol), TextOps.shinglesFromTokens(col("__toks"), shingleWidth).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sh.count()
     val withA = p.join(sh.withColumnRenamed(idCol, "a_id")
       .withColumnRenamed("sh", "sh_a"), "a_id")
     val withB = withA.join(sh.withColumnRenamed(idCol, "b_id")
@@ -216,10 +262,47 @@ object DedupOps {
   def nearDuplicates(df: DataFrame, threshold: Double = 0.7,
                      idCol: String = "doc_id", textCol: String = "text",
                      maxBandBucket: Int = 1000, bands: Int = 8): DataFrame = {
-    val cands = lshCandidates(df, bands = bands, idCol = idCol,
-      maxBandBucket = maxBandBucket, prefilterAgree = threshold / 2)
-    val out = jaccardVerify(df, cands, threshold, idCol, textCol)
+    // ONE shingle pass feeds both stages (r7): minhash signatures AND the
+    // exact-Jaccard verify consume the same cached (id, sh) frame — the
+    // corpus is tokenized/shingled exactly once. Eager count first: the
+    // downstream consumers otherwise race to fill the cache concurrently
+    // and the shingling runs 2-3× (measured).
+    val shing = shingleFrame(df, idCol, textCol, shingleWidth = 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    shing.count()
+    val cands = lshCandidatesFromSigs(minHashFromShingles(shing, idCol, 32),
+      bands, idCol, 32, maxBandBucket, prefilterAgree = threshold / 2)
+    val out = jaccardVerifyFromShingles(shing, cands, threshold, idCol)
     cands.unpersist(blocking = false) // verify already materialized its result
+    shing.unpersist(blocking = false)
+    out
+  }
+
+  /** [[jaccardVerify]] against a precomputed cached (id, sh) shingle frame:
+    * the pair joins stream the cached shingles, no re-tokenization. The
+    * pairs frame is expected persisted by the caller (LSH output is).
+    */
+  private[ops] def jaccardVerifyFromShingles(shing: DataFrame, pairs: DataFrame,
+                                             threshold: Double,
+                                             idCol: String): DataFrame = {
+    // Prune the corpus-wide cached shingles to candidate docs FIRST (ids-only
+    // broadcast semi-join): at scale candidates ≪ corpus, and the pair joins
+    // below must never shuffle the full shingle frame.
+    val needed = pairs.select(col("a_id").as(idCol))
+      .unionAll(pairs.select(col("b_id").as(idCol))).distinct()
+    val sh = shing.join(needed, Seq(idCol), "left_semi")
+    val withA = pairs.join(sh.withColumnRenamed(idCol, "a_id")
+      .withColumnRenamed("sh", "sh_a"), "a_id")
+    val withB = withA.join(sh.withColumnRenamed(idCol, "b_id")
+      .withColumnRenamed("sh", "sh_b"), "b_id")
+    val out = withB
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .where(col("inter") / col("uni") >= threshold)
+      .withColumn("jaccard", round(col("inter") / col("uni"), 6))
+      .select("a_id", "b_id", "jaccard")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // candidate-bounded result; frees upstream caches for callers
     out
   }
 

@@ -78,9 +78,15 @@ object TextOps {
 
   /** Rolling-hash shingle fingerprints: w-token windows, each hashed — the
     * basis for n-gram Jaccard and MinHash.
+    *
+    * PERF CONTRACT: pass a MATERIALIZED token-array column (project
+    * [[tokens]] into its own column first), never the tokenization
+    * expression inline. Higher-order functions are CodegenFallback, so an
+    * inline `tokens(lower(text))` argument is re-evaluated by the lambda
+    * for EVERY window — an O(windows) regex-split blowup per document
+    * (measured ~10× the whole stage's CPU at 3-token shingles).
     */
-  def shingles(text: Column, w: Int = 3): Column = {
-    val toks = tokens(lower(text))
+  def shinglesFromTokens(toks: Column, w: Int = 3): Column = {
     val n = size(toks)
     // windows i..i+w-1 via sequence+transform (no explode needed here)
     when(n >= w,
@@ -89,6 +95,13 @@ object TextOps {
           slice(toks, i + 1, lit(w)))))))
       .otherwise(array(xxhash64(concat_ws(" ", toks))))
   }
+
+  /** [[shinglesFromTokens]] over `tokens(lower(text))` inline — convenient
+    * for one-off small frames; hot paths must materialize the tokens first
+    * (see the perf contract above).
+    */
+  def shingles(text: Column, w: Int = 3): Column =
+    shinglesFromTokens(tokens(lower(text)), w)
 
   /** Per-document text metrics in one pass. */
   def withTextMetrics(df: DataFrame, textCol: String = "text"): DataFrame = {

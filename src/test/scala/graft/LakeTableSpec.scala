@@ -239,8 +239,10 @@ class LakeTableSpec extends AnyFunSuite {
 
   test("compaction cadence counts delta EPOCHS, not salted files") {
     // AQE off so the salted write really lands multiple files per bucket per
-    // epoch (AQE coalesces these tiny test batches to one partition).
+    // epoch (AQE coalesces these tiny test batches to one partition), and
+    // the size-adaptive salt pinned ON (tiny test batches would drop it).
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.graft.write.saltMinBytes", "0")
     try {
       val t = freshTable(buckets = 4) // maxDeltasPerBucket = 4
       t.merge(TranscriptWal.synthetic(spark, 1000, 16), "t", 1)
@@ -257,7 +259,10 @@ class LakeTableSpec extends AnyFunSuite {
       // 5th delta epoch crosses the bound → compaction fires, state stays right
       val r6 = t.merge(TranscriptWal.synthetic(spark, 200, 16, lsnOffset = 9000000L), "t", 6)
       assert(r6.compactedBuckets > 0)
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.graft.write.saltMinBytes")
+    }
   }
 
   test("vacuum removes superseded files and orphans; read unchanged") {
@@ -370,6 +375,7 @@ class LakeTableSpec extends AnyFunSuite {
     // key (b, salt) fans it out — visible as multiple files for that bucket
     // from one epoch. Structural evidence (file counts), not flaky timings.
     spark.conf.set("spark.sql.adaptive.enabled", "false") // no small-batch coalesce
+    spark.conf.set("spark.graft.write.saltMinBytes", "0") // pin adaptive salt ON
     try {
       val hotWal = TranscriptWal.synthetic(spark, 4000, 4, hotConvShare = 0.9)
       def hotFiles(salt: Int): Int = {
@@ -382,7 +388,10 @@ class LakeTableSpec extends AnyFunSuite {
       }
       assert(hotFiles(salt = 1) == 1, "unsalted: hot bucket = one writer task")
       assert(hotFiles(salt = 4) >= 3, "salted: hot bucket spread across tasks")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.graft.write.saltMinBytes")
+    }
   }
 
   test("snapshot publish is CAS: same-version double-commit raises, winner intact") {
