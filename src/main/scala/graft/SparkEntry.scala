@@ -170,17 +170,20 @@ object SparkEntry {
       val cat = s"gm${Math.abs(work.hashCode)}"
       s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.lake.GraftCatalog].getName)
       s.conf.set(s"spark.sql.catalog.$cat.root", s"$work/lake")
+      // The D-arm and U-arm conditions are disjoint, so both fold into ONE
+      // scan of the live state with a conditional projection (r7) — the
+      // union form read the merge-on-read table twice inside the MERGE job.
+      // Row set is identical; MERGE semantics are per-key, order-free.
       val live = table.read()
-      val src = live.where(col("role") === "user" && col("turn_idx") >= 3)
+      val isDel = col("role") === "user" && col("turn_idx") >= 3
+      val isUpd = col("role") === "assistant" && col("turn_idx") === 1
+      val src = live.where(isDel || isUpd)
         .select(col("conv_id"), col("turn_idx"),
-          lit(null).cast("string").as("new_text"), lit(null).cast("string").as("role"),
+          when(isUpd, concat(col("text"), lit(" [merged]")))
+            .otherwise(lit(null).cast("string")).as("new_text"),
+          lit(null).cast("string").as("role"),
           lit(null).cast("string").as("tool"), lit(null).cast("timestamp").as("ts"),
-          lit("D").as("src_op"))
-        .unionByName(live.where(col("role") === "assistant" && col("turn_idx") === 1)
-          .select(col("conv_id"), col("turn_idx"),
-            concat(col("text"), lit(" [merged]")).as("new_text"),
-            lit(null).cast("string").as("role"), lit(null).cast("string").as("tool"),
-            lit(null).cast("timestamp").as("ts"), lit("U").as("src_op")))
+          when(isDel, lit("D")).otherwise(lit("U")).as("src_op"))
         .unionByName(s.sql(
           "SELECT 'zz_merge' AS conv_id, 0 AS turn_idx, 'merged in' AS new_text, " +
             "'user' AS role, CAST(NULL AS STRING) AS tool, " +
@@ -604,9 +607,12 @@ object SparkEntry {
     }),
 
     // Language-ID by stopword-marker voting, cross-tabbed vs actual lang.
+    // Tokens in their own projection (shinglesFromTokens perf contract):
+    // inlined, each language's marker filter re-runs the regex split.
     "q_langid" -> ((s, dir) => {
       tbl(s, dir, "documents")
-        .withColumn("lang_pred", TextOps.langId(col("text")))
+        .select(col("lang"), TextOps.tokens(lower(col("text"))).as("__toks"))
+        .withColumn("lang_pred", TextOps.langIdFromTokens(col("__toks")))
         .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
         .orderBy("lang", "lang_pred")
     }),

@@ -90,7 +90,15 @@ object DedupOps {
     */
   private[ops] def minHashFromShingles(shing: DataFrame, idCol: String,
                                        k: Int): DataFrame = {
-    val ex = shing.select(col(idCol), explode(col("sh")).as("__s"))
+    // explode_outer + an explicit not-null filter ≡ explode row-for-row, but
+    // WITHOUT the optimizer's InferFiltersFromGenerate: that rule synthesizes
+    // `size(sh)>0 AND isnotnull(sh)` whose full shingle expression (tokens
+    // re-inlined — the quadratic CodegenFallback form) gets pushed below the
+    // repartition onto the scan's 1-2 tasks (measured: a 2-task stage burning
+    // more CPU than the whole aggregation). The filter on the GENERATED
+    // attribute cannot be pushed below the generator.
+    val ex = shing.select(col(idCol), explode_outer(col("sh")).as("__s"))
+      .where(col("__s").isNotNull)
     val mins = (0 until k).map(i => min(xxhash64(col("__s"), lit(i))).as(s"__m$i"))
     ex.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
       .select(col(idCol), array((0 until k).map(i => col(s"__m$i")): _*).as("minhash"))
@@ -144,6 +152,11 @@ object DedupOps {
     val grp = sigs.groupBy(col("minhash"))
       .agg(min(col(idCol)).as("rep"), collect_list(col(idCol)).as("ids"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Eager fill: the banding window and BOTH self-join sides read grp
+    // concurrently; filled lazily, their tasks serialize on the per-partition
+    // cache locks while one task computes the expensive signature aggregation
+    // (measured as run≫cpu across every consumer stage).
+    grp.count()
     // SLIM bucketing: the band window and self-join carry only
     // (rep, band, bh) — 3 longs — never the k-long signature array (17×
     // less shuffle payload; signatures rejoin below for candidate pairs
@@ -411,14 +424,18 @@ object DedupOps {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("label"))
-      val next = labels.select(col("id"), col("label"))
-        .unionAll(viaNeighbors)
-        .groupBy("id").agg(min(col("label")).as("label"))
+      // The own-row tag rides through the union, so the PREVIOUS label falls
+      // out of the same aggregation (labels holds exactly one row per id) —
+      // convergence needs no second join+shuffle per pass (r7: halves the
+      // per-superstep job count; the count below scans the checkpoint only).
+      val next = labels.select(col("id"), col("label"), lit(true).as("own"))
+        .unionAll(viaNeighbors.withColumn("own", lit(false)))
+        .groupBy("id").agg(min(col("label")).as("label"),
+          min(when(col("own"), col("label"))).as("prev"))
         .localCheckpoint(true)
       // convergence = no label changed this pass (exact, one small count)
-      val changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
-        .where(col("label") =!= col("prev")).count()
-      labels = next
+      val changed = next.where(col("label") =!= col("prev")).count()
+      labels = next.select("id", "label")
       converged = changed == 0
       iter += 1
     }

@@ -120,18 +120,32 @@ object SimilarityOps {
     }
   }
 
-  /** (id, v, list_id): nearest centroid per vector via broadcast argmin. */
+  /** (id, v, list_id): nearest centroid per vector.
+    *
+    * The centroid set is nlist rows by construction — driver-bounded like
+    * every KMeans implementation — so it is collected and inlined as
+    * LITERAL arrays (r7): the assignment becomes a pure projection
+    * (distance-to-each-literal + `least` over (d, list_id) structs) with no
+    * crossJoin, no per-vector window, no shuffle, no sort. The struct
+    * `least` is lexicographic, so ties on distance break to the lowest
+    * list_id — exactly the old window's ORDER BY (__d, list_id) row 1.
+    */
   def assignToNearest(vectors: DataFrame, centroids: DataFrame,
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = centroids.select(col("list_id"), col("c")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
     val v = vectors.select(col(idCol), transform(col(vecCol), _.cast("double")).as("v"))
-    val joined = v.crossJoin(broadcast(centroids))
-      .withColumn("__d",
-        aggregate(zip_with(col("v"), col("c"), (a, b) => (a - b) * (a - b)),
-          lit(0.0d), (acc, x) => acc + x))
-    val w = Window.partitionBy(idCol).orderBy(col("__d"), col("list_id"))
-    joined.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .select(col(idCol), col("v"), col("list_id"))
+    val candidates = cents.map { case (lid, cvec) =>
+      struct(
+        aggregate(zip_with(col("v"), array(cvec.map(lit): _*),
+          (a, b) => (a - b) * (a - b)), lit(0.0d), (acc, x) => acc + x).as("d"),
+        lit(lid).as("list_id"))
+    }
+    val best =
+      if (candidates.length == 1) candidates.head
+      else least(candidates.toIndexedSeq: _*)
+    v.select(col(idCol), col("v"), best.getField("list_id").as("list_id"))
   }
 
   /** IVF search: probe the `nprobe` nearest lists per query, exact cosine

@@ -59,8 +59,15 @@ object TextOps {
     "es" -> Seq("el", "los", "y", "es"),
     "zh" -> Seq("的", "是", "了", "在"))
 
-  def langId(text: Column, markers: Map[String, Seq[String]] = defaultMarkers): Column = {
-    val toks = tokens(lower(text))
+  def langId(text: Column, markers: Map[String, Seq[String]] = defaultMarkers): Column =
+    langIdFromTokens(tokens(lower(text)), markers)
+
+  /** [[langId]] over a MATERIALIZED lowercase token-array column. Hot paths
+    * should project the tokens into their own column first: inlined, the
+    * per-language marker filters each re-run the regex split (same
+    * CodegenFallback re-evaluation as the shingles perf contract).
+    */
+  def langIdFromTokens(toks: Column, markers: Map[String, Seq[String]] = defaultMarkers): Column = {
     val scored = markers.toSeq.sortBy(_._1).map { case (lang, ws) =>
       struct(size(filter(toks, w => w.isin(ws.map(lit): _*))).as("score"),
         lit(lang).as("lang"))
