@@ -66,9 +66,11 @@ object SimilarityOps {
                     vecCol: String = "embedding"): DataFrame = {
     val v = transform(col(vecCol), x => x.cast("double"))
     val sig = (0 until bits).map { i =>
-      // h_i[d] in {-1,+1} from xxhash64(i, d): cheap simhash-style projection
+      // h_i[d] in {-1,+1} from xxhash64(i, d): cheap simhash-style projection.
+      // transform's (element, index) lambda — the earlier zip_with(v,
+      // sequence(0, size-1)) form allocated an index array per row PER BIT.
       val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1), (x, d) =>
+        transform(v, (x, d) =>
           when(shiftright(xxhash64(lit(i), d), 1).bitwiseAND(lit(1L)) === 1L, x)
             .otherwise(-x)),
         lit(0.0d), (acc, x) => acc + x)
@@ -209,7 +211,11 @@ object SimilarityOps {
                            maxBucket: Int = 100000): DataFrame = {
     val probes = array((lit(0L) +:
       (0 until math.min(multiProbe, bits)).map(i => lit(1L << i))): _*)
-    val sigs = withLshBucket(corpus, bits, vecCol)
+    // Spread the per-row bucket computation (bits x dim hash evaluations)
+    // before it runs: the corpus scan's split count (often 1-2 row groups)
+    // would otherwise confine it to as many tasks.
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val sigs = withLshBucket(corpus.repartition(par, col(idCol)), bits, vecCol)
       .select(col(idCol), quantize(col(vecCol)).as("qv"), col("lsh_bucket"))
       .withColumn("__rn", row_number().over(
         Window.partitionBy("lsh_bucket").orderBy(xxhash64(col(idCol)))))
@@ -259,7 +265,8 @@ object SimilarityOps {
         explode(transform(probes, m => col("lsh_bucket").bitwiseXOR(m))).as("lsh_bucket"))
       .select(col("query_id"), col("qv"), col("lsh_bucket"),
         dotQ(col("qv"), col("qv")).as("qn"))
-    val cb = withLshBucket(corpus, bits, vecCol)
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val cb = withLshBucket(corpus.repartition(par, col(idCol)), bits, vecCol)
       .select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv"), col("lsh_bucket"))
       .withColumn("__rn", row_number().over(
         Window.partitionBy("lsh_bucket").orderBy(xxhash64(col("neighbor_id")))))
