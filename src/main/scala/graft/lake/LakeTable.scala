@@ -1334,40 +1334,51 @@ final class LakeTable(val spark: SparkSession, val path: String,
         if (churnBounded) {
           val touched = broadcast(changesBetween(version, prev.version)
             .select(keyCols.map(col): _*).distinct())
-          // Persist both pruned sides: each feeds BOTH exceptAll arms below,
-          // and without the cache the merge's one delta-write job executes
-          // FOUR full merge-on-read table scans (2 per arm) instead of two
-          // O(churn) cache reads (measured ~2× the whole rollback's write
-          // phase). Bounded by touchedCap rows — the small thing here.
-          (targetW.join(touched, keyCols, "left_semi")
-             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-            current.join(touched, keyCols, "left_semi")
-              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          (targetW.join(touched, keyCols, "left_semi"),
+            current.join(touched, keyCols, "left_semi"))
         } else (targetW, current)
-      try {
-        val upserts = (if (setOpsOk) targetD.exceptAll(currentD) else targetD)
-          .withColumn("op", lit("U"))
-          .withColumn("lsn", lit(lsn))
-          .withColumn("commit_ts", timestamp_micros(lit(nowMicros)))
-        val deletes = currentD.select(keyCols.map(col): _*)
-          .exceptAll(targetD.select(keyCols.map(col): _*))
-          .withColumn("op", lit("D"))
-          .withColumn("lsn", lit(lsn))
-          .withColumn("commit_ts", timestamp_micros(lit(nowMicros)))
-        val batch = upserts.unionByName(deletes, allowMissingColumns = true)
-        val merged =
-          try Some(merge(batch, ns, epochId))
-          catch { case _: CommitConflictException => None }
-        merged match {
-          case Some(r) if r.applied => return r
-          case _ => // lost the CAS or a racer burned the id — re-read, retry
-            attempt += 1
-            if (attempt > maxRetries) throw new CommitConflictException(
-              s"rollbackTo at $path lost the commit race $attempt times")
-        }
-      } finally if (churnBounded) {
-        targetD.unpersist(blocking = false)
-        currentD.unpersist(blocking = false)
+      // ONE-PASS DIFF (r7): both states are arbitrated — exactly one row per
+      // key — so the two-sided exceptAll (two shuffle set-ops, each arm
+      // re-executing both merge-on-read scans) is equivalent to a single
+      // full-outer join on the keys with a null-safe payload-struct
+      // comparison: target-side row present and different-or-missing on the
+      // current side ⇒ 'U' re-upsert; current-only key ⇒ 'D' tombstone. One
+      // join, one output projection, each state scanned once. The map-typed
+      // fallback keeps its semantics (re-upsert every target row) by
+      // emitting every joined key — structs with map fields are never
+      // compared.
+      val payloadCols = current.columns.filterNot(keyCols.contains).toIndexedSeq
+      // keys-only schema: a constant marker field keeps the struct non-empty
+      // (equal on both sides, so only missing-side rows emit)
+      def rowStruct(): org.apache.spark.sql.Column =
+        if (payloadCols.isEmpty) struct(lit(1).as("__one"))
+        else struct(payloadCols.map(col): _*)
+      val tRow = targetD.select((keyCols.map(col) :+
+        rowStruct().as("__trow")).toIndexedSeq: _*)
+      val cRow = currentD.select((keyCols.map(col) :+
+        rowStruct().as("__crow")).toIndexedSeq: _*)
+      val joined = tRow.join(cRow, keyCols, "full_outer")
+      val emit =
+        if (setOpsOk)
+          (col("__trow").isNotNull &&
+            (col("__crow").isNull || !(col("__trow") <=> col("__crow")))) ||
+            col("__trow").isNull
+        else lit(true)
+      val batch = joined.where(emit).select(
+        (keyCols.map(col) ++
+          payloadCols.map(c => col(s"__trow.$c").as(c)) ++ Seq(
+          when(col("__trow").isNotNull, lit("U")).otherwise(lit("D")).as("op"),
+          lit(lsn).as("lsn"),
+          timestamp_micros(lit(nowMicros)).as("commit_ts"))).toIndexedSeq: _*)
+      val merged =
+        try Some(merge(batch, ns, epochId))
+        catch { case _: CommitConflictException => None }
+      merged match {
+        case Some(r) if r.applied => return r
+        case _ => // lost the CAS or a racer burned the id — re-read, retry
+          attempt += 1
+          if (attempt > maxRetries) throw new CommitConflictException(
+            s"rollbackTo at $path lost the commit race $attempt times")
       }
     }
     throw new IllegalStateException("unreachable")
