@@ -39,7 +39,16 @@ object SparkEntry {
     }))
 
   private def scratchDir(prefix: String): String = {
-    val d = Files.createTempDirectory(prefix)
+    // Prefer tmpfs (same policy as Bench.benchRoot): this host's virtio disk
+    // throttles unpredictably under concurrent writeback, and scratch lakes
+    // are per-invocation throwaways — nothing needs to survive a reboot.
+    val base = java.nio.file.Paths.get("/dev/shm")
+    val d =
+      if (Files.isDirectory(base) && Files.isWritable(base)) {
+        val root = base.resolve("graft-scratch")
+        Files.createDirectories(root)
+        Files.createTempDirectory(root, prefix)
+      } else Files.createTempDirectory(prefix)
     scratchDirs.add(d)
     d.toString
   }
@@ -763,8 +772,11 @@ object SparkEntry {
       val agg = perEvent.groupBy("conv_id").agg(
         sum(col("nw")).as("n_assign"),
         count(when(col("nw") >= 2, 1)).as("n_multi"))
-      val resid = graft.ops.IntervalJoin.residual(ev, windows, "conv_id", "lsn",
-        "tsu", "ws", "we", cellMicros = 300000000L)
+      // residual ≡ events minus the assigned key set — perEvent already IS
+      // that set, so anti-join against it instead of IntervalJoin.residual,
+      // which would re-execute the whole grid join a second time (r7).
+      val resid = ev.join(perEvent.select("conv_id", "lsn"),
+          Seq("conv_id", "lsn"), "left_anti")
         .groupBy("conv_id").agg(count(lit(1)).as("n_residual"))
       agg.join(resid, Seq("conv_id"), "left")
         .select(col("conv_id"), col("n_assign"), col("n_multi"),
@@ -828,16 +840,22 @@ object SparkEntry {
       import s.implicits._
       val scored = tbl(s, dir, "documents")
         .select(col("doc_id"), TextOps.qualityScore(col("text")).as("q"))
-        .persist() // 6 actions over the loop — score the corpus once
+        .persist() // 4 actions over the loop — score the corpus once
+      // quantized mean: both engines compare identical 2-dp thresholds,
+      // immune to summation-order ulps. Each pass's (count after the
+      // previous filter, mean for this pass) come from ONE aggregate — the
+      // separate count-per-iteration shape ran 7 actions instead of 4 (r7).
       var kept = scored
+      var m = scored.agg(round(avg(col("q")), 2)).collect()(0).getDouble(0)
       val log = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
-      for (iter <- 1 to 3) {
-        // quantized mean: both engines compare identical 2-dp thresholds,
-        // immune to summation-order ulps
-        val m = kept.agg(round(avg(col("q")), 2)).collect()(0).getDouble(0)
+      for (iter <- 1 to 2) {
         kept = kept.where(col("q") >= m)
-        log += ((iter, kept.count(), m))
+        val r = kept.agg(count(lit(1)), round(avg(col("q")), 2)).collect()(0)
+        log += ((iter, r.getLong(0), m))
+        m = r.getDouble(1)
       }
+      kept = kept.where(col("q") >= m)
+      log += ((3, kept.count(), m))
       scored.unpersist(blocking = false) // loop actions done — free the cache
       log.toSeq.toDF("iter", "n_docs", "mean_q").orderBy("iter")
     }),

@@ -2044,7 +2044,11 @@ object LakeTable {
     * Daemon threads: the pool must never hold the JVM open.
     */
   private[lake] lazy val footerPool: java.util.concurrent.ExecutorService =
-    java.util.concurrent.Executors.newFixedThreadPool(8,
+    java.util.concurrent.Executors.newFixedThreadPool(
+      // CPU-scaled (ADVICE r6): many tables committing concurrently in one
+      // JVM contend on this shared pool; footer reads are latency-bound, so
+      // size with the host rather than a fixed 8.
+      math.max(8, Runtime.getRuntime.availableProcessors()),
       new java.util.concurrent.ThreadFactory {
         private val n = new java.util.concurrent.atomic.AtomicInteger(0)
         override def newThread(r: Runnable): Thread = {
