@@ -223,21 +223,16 @@ object DedupOps {
     val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val needed = p.select(col("a_id").as(idCol))
       .unionAll(p.select(col("b_id").as(idCol))).distinct()
-    // Three perf rules learned by measurement (r7):
-    //  1. repartition before shingling — the semi-joined docs inherit the
-    //     scan's split count (often 1-2 row groups), which would confine the
-    //     whole corpus's shingling CPU to 2 tasks;
-    //  2. tokens in their own projection (shinglesFromTokens perf contract);
-    //  3. eager count BEFORE the two join arms — both arms' broadcast builds
-    //     otherwise race to compute the un-materialized cache entry and the
-    //     shingling runs twice concurrently.
-    val par = df.sparkSession.sparkContext.defaultParallelism
+    // Tokens in their own projection (shinglesFromTokens perf contract).
+    // No repartition / eager-count here: this standalone path serves SMALL
+    // candidate-bounded verifies (the corpus-scale pipeline goes through
+    // jaccardVerifyFromShingles, which reuses nearDuplicates' spread, cached
+    // shingle frame) — on small inputs the extra shuffle + count barrier
+    // cost more than the double-computed cache they avoided (measured r7).
     val sh = df.join(needed, Seq(idCol), "left_semi")
-      .repartition(par, col(idCol))
       .select(col(idCol), TextOps.tokens(lower(col(textCol))).as("__toks"))
       .select(col(idCol), TextOps.shinglesFromTokens(col("__toks"), shingleWidth).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sh.count()
     val withA = p.join(sh.withColumnRenamed(idCol, "a_id")
       .withColumnRenamed("sh", "sh_a"), "a_id")
     val withB = withA.join(sh.withColumnRenamed(idCol, "b_id")
