@@ -169,9 +169,15 @@ object DedupOps {
             element_at(col("minhash"), b * r + i + 1)): _*).as("bh"))
       }: _*)).as("bb"))
       .select(col("rep"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    val kept = banded.withColumn("__bn",
-        count(lit(1)).over(Window.partitionBy("band", "bh")))
-      .where(col("__bn") <= maxBandBucket).drop("__bn")
+    // Hot-bucket cap as aggregate + anti-join, NOT a window: the window
+    // shuffled and sorted EVERY banded row by (band, bh); the aggregate
+    // shuffles map-side partial counts only, and its output is just the HOT
+    // buckets (count > cap) — ≤ corpus/cap rows by definition — so the
+    // anti-join's build side stays small at any scale. Row set identical.
+    val hot = banded.groupBy("band", "bh")
+      .agg(count(lit(1)).as("__bn")).where(col("__bn") > maxBandBucket)
+      .select("band", "bh")
+    val kept = banded.join(hot, Seq("band", "bh"), "left_anti")
     val l = kept.select(col("rep").as("ra"), col("band"), col("bh"))
     val rt = kept.select(col("rep").as("rb"), col("band"), col("bh"))
     val minAgree = math.ceil(prefilterAgree * k).toInt
