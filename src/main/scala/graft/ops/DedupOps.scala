@@ -186,19 +186,22 @@ object DedupOps {
     // no separate intra branch, one less plan arm to compile and union.
     // distinct() BEFORE the prefilter: a pair colliding in several bands is
     // deduped first, so the signature-agreement check runs once per pair.
-    val sigOf = grp.select(col("rep"), col("minhash"))
+    // ONE grp join per side attaches signature AND member ids together
+    // (was 2 joins per side: sigs for the prefilter, ids after it — r7).
+    // The ids arrays ride through the prefilter only; member lists are
+    // near-singleton by construction (identical-signature groups).
+    val sigOf = grp.select(col("rep"), col("minhash"), col("ids"))
     val repPairs = l.join(rt, Seq("band", "bh"))
       .where(col("ra") <= col("rb"))
       .select("ra", "rb").distinct()
-      .join(sigOf.select(col("rep").as("ra"), col("minhash").as("sa")), "ra")
-      .join(sigOf.select(col("rep").as("rb"), col("minhash").as("sb")), "rb")
+      .join(sigOf.select(col("rep").as("ra"), col("minhash").as("sa"),
+        col("ids").as("ia")), "ra")
+      .join(sigOf.select(col("rep").as("rb"), col("minhash").as("sb"),
+        col("ids").as("ib")), "rb")
       .where(size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
         b => b)) >= minAgree)
-      .select("ra", "rb")
     // expand representative pairs back to member pairs
     val out = repPairs
-      .join(grp.select(col("rep").as("ra"), col("ids").as("ia")), "ra")
-      .join(grp.select(col("rep").as("rb"), col("ids").as("ib")), "rb")
       .select(explode(col("ia")).as("a_id"), col("ib"))
       .select(col("a_id"), explode(col("ib")).as("b_id"))
       .where(col("a_id") =!= col("b_id"))
